@@ -1,0 +1,60 @@
+"""Intrinsics helpers and view synthesis (warping).
+
+Behavioral parity with reference: mgnet/geometry/camera_utils.py
+(construct_K, scale_intrinsics with the +0.5 pixel-center convention,
+view_synthesis = reconstruct -> project -> bilinear grid sample).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from mgnet_tpu.geometry.image import grid_sample
+
+__all__ = ["construct_K", "scale_intrinsics", "view_synthesis"]
+
+
+def construct_K(fx: float, fy: float, cx: float, cy: float,
+                dtype=np.float32) -> np.ndarray:
+    """Build a [3, 3] pinhole intrinsics matrix (host-side helper)."""
+    return np.array([[fx, 0, cx], [0, fy, cy], [0, 0, 1]], dtype=dtype)
+
+
+def scale_intrinsics(K: jnp.ndarray, x_scale, y_scale) -> jnp.ndarray:
+    """Rescale intrinsics for a resized image (pixel-center convention).
+
+    Parity: reference camera_utils.py:15-21 —
+    f *= scale; c = (c + 0.5) * scale - 0.5. Functional (returns new K).
+    """
+    K = jnp.asarray(K)
+    fx = K[..., 0, 0] * x_scale
+    fy = K[..., 1, 1] * y_scale
+    cx = (K[..., 0, 2] + 0.5) * x_scale - 0.5
+    cy = (K[..., 1, 2] + 0.5) * y_scale - 0.5
+    out = K
+    out = out.at[..., 0, 0].set(fx)
+    out = out.at[..., 1, 1].set(fy)
+    out = out.at[..., 0, 2].set(cx)
+    out = out.at[..., 1, 2].set(cy)
+    return out
+
+
+def view_synthesis(ref_image: jnp.ndarray, depth: jnp.ndarray, ref_cam,
+                   cam, padding_mode: str = "zeros") -> jnp.ndarray:
+    """Warp ``ref_image`` into the frame of ``cam`` given ``depth``.
+
+    Parity: reference camera_utils.py:24-54 — reconstruct world points with
+    ``cam``, project onto ``ref_cam``, bilinear-sample with
+    align_corners=True.
+
+    Args:
+        ref_image: [B, H, W, 3] reference (context) image.
+        depth: [B, H, W, 1] depth of the target view.
+        ref_cam: Camera of the reference image (carries the relative pose).
+        cam: Camera of the target view.
+    """
+    assert depth.shape[-1] == 1
+    world_points = cam.reconstruct(depth, frame="w")
+    ref_coords = ref_cam.project(world_points, frame="w")
+    return grid_sample(ref_image, ref_coords, padding_mode=padding_mode)

@@ -1,0 +1,212 @@
+"""Image-space utilities: grids, gradients, resizes, and bilinear sampling.
+
+Behavioral parity with reference: mgnet/geometry/image.py (meshgrid,
+image_grid, gradient_x/y, interpolate_image, match_scales) and with
+torch.nn.functional.grid_sample(align_corners=True, padding zeros/border)
+used at reference: mgnet/geometry/camera_utils.py:52-54.
+
+TPU-first design notes:
+* All tensors are NHWC.
+* ``interpolate_bilinear`` implements torch's align_corners=True bilinear
+  resize as two separable matmuls — the interpolation weights become small
+  dense matrices that XLA maps onto the MXU instead of gathers.
+* ``grid_sample`` is a vectorized 4-neighbor gather formulated as one
+  flat take-along-axis per corner, fusing cleanly under XLA.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "image_grid",
+    "gradient_x",
+    "gradient_y",
+    "interpolate_bilinear",
+    "interpolate_nearest",
+    "match_scales",
+    "grid_sample",
+]
+
+
+def image_grid(batch: int, height: int, width: int, dtype=jnp.float32) -> jnp.ndarray:
+    """Homogeneous pixel grid [B, H, W, 3] with channels (x, y, 1).
+
+    Parity: reference mgnet/geometry/image.py:138-199 (meshgrid/image_grid,
+    non-normalized variant), transposed to NHWC.
+    """
+    xs = jnp.arange(width, dtype=dtype)
+    ys = jnp.arange(height, dtype=dtype)
+    grid_x = jnp.broadcast_to(xs[None, :], (height, width))
+    grid_y = jnp.broadcast_to(ys[:, None], (height, width))
+    ones = jnp.ones((height, width), dtype=dtype)
+    grid = jnp.stack([grid_x, grid_y, ones], axis=-1)
+    return jnp.broadcast_to(grid[None], (batch, height, width, 3))
+
+
+def gradient_x(image: jnp.ndarray) -> jnp.ndarray:
+    """Forward difference along width. [B,H,W,C] -> [B,H,W-1,C].
+
+    Parity: reference mgnet/geometry/image.py gradient_x.
+    """
+    return image[:, :, :-1, :] - image[:, :, 1:, :]
+
+
+def gradient_y(image: jnp.ndarray) -> jnp.ndarray:
+    """Forward difference along height. [B,H,W,C] -> [B,H-1,W,C]."""
+    return image[:, :-1, :, :] - image[:, 1:, :, :]
+
+
+def _align_corners_weights(in_size: int, out_size: int, dtype) -> np.ndarray:
+    """Dense [out, in] bilinear interpolation matrix, align_corners=True.
+
+    out[i] = sum_j W[i, j] * in[j] reproduces
+    torch.nn.functional.interpolate(mode='bilinear', align_corners=True)
+    along one axis. Computed with numpy at trace time (shapes are static).
+    """
+    if out_size == in_size:
+        return np.eye(out_size, dtype=dtype)
+    if in_size == 1:
+        return np.ones((out_size, 1), dtype=dtype)
+    if out_size == 1:
+        w = np.zeros((1, in_size), dtype=dtype)
+        w[0, 0] = 1.0
+        return w
+    src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 2)
+    frac = src - lo
+    w = np.zeros((out_size, in_size), dtype=np.float64)
+    rows = np.arange(out_size)
+    w[rows, lo] = 1.0 - frac
+    w[rows, lo + 1] = frac
+    return w.astype(dtype)
+
+
+def interpolate_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Bilinear resize with align_corners=True semantics, NHWC.
+
+    Parity: torch F.interpolate(..., mode='bilinear', align_corners=True)
+    used throughout the reference (e.g. mgnet/modeling/mg_net.py:599,678-687).
+
+    Implemented as two separable dense matmuls so the resize runs on the
+    MXU: out = Wh @ x @ Ww^T applied per batch/channel.
+    """
+    out_h, out_w = size
+    b, in_h, in_w, c = x.shape
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    dtype = x.dtype
+    f32 = jnp.float32
+    wh = jnp.asarray(_align_corners_weights(in_h, out_h, np.float32))
+    ww = jnp.asarray(_align_corners_weights(in_w, out_w, np.float32))
+    y = x.astype(f32)
+    # [out_h, in_h] x [B, in_h, in_w, C] -> [B, out_h, in_w, C]
+    y = jnp.einsum("ph,bhwc->bpwc", wh, y, preferred_element_type=f32)
+    # [out_w, in_w] x [B, out_h, in_w, C] -> [B, out_h, out_w, C]
+    y = jnp.einsum("qw,bpwc->bpqc", ww, y, preferred_element_type=f32)
+    return y.astype(dtype)
+
+
+def interpolate_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
+    """Nearest-neighbor resize matching torch F.interpolate(mode='nearest').
+
+    Parity: reference decoder upsampling, mgnet/modeling/layers.py:90 and
+    GCM upsample mgnet/modeling/layers.py:217. torch nearest picks
+    src = floor(dst * in/out).
+    """
+    out_h, out_w = size
+    b, in_h, in_w, c = x.shape
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    idx_h = jnp.asarray((np.arange(out_h) * in_h // out_h).astype(np.int32))
+    idx_w = jnp.asarray((np.arange(out_w) * in_w // out_w).astype(np.int32))
+    return x[:, idx_h][:, :, idx_w]
+
+
+def match_scales(image: jnp.ndarray, shapes: list[tuple[int, int]]) -> list[jnp.ndarray]:
+    """Resize ``image`` to each (H, W) in ``shapes`` (bilinear align-corners).
+
+    Parity: reference mgnet/geometry/image.py match_scales.
+    """
+    return [interpolate_bilinear(image, s) for s in shapes]
+
+
+@partial(jax.jit, static_argnames=("padding_mode",))
+def grid_sample(image: jnp.ndarray, coords: jnp.ndarray,
+                padding_mode: str = "zeros") -> jnp.ndarray:
+    """Bilinear sampling of ``image`` at normalized ``coords``.
+
+    Parity: torch F.grid_sample(mode='bilinear', align_corners=True)
+    (reference: mgnet/geometry/camera_utils.py:52-54).
+
+    Args:
+        image: [B, H, W, C]
+        coords: [B, H', W', 2], normalized to [-1, 1], channel order (x, y).
+        padding_mode: 'zeros' or 'border'.
+
+    Returns:
+        [B, H', W', C] sampled image.
+    """
+    b, h, w, c = image.shape
+    _, oh, ow, _ = coords.shape
+    x = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = x0 + 1.0
+    y1 = y0 + 1.0
+
+    wx1 = x - x0
+    wy1 = y - y0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def clip_x(v):
+        return jnp.clip(v, 0, w - 1).astype(jnp.int32)
+
+    def clip_y(v):
+        return jnp.clip(v, 0, h - 1).astype(jnp.int32)
+
+    x0c, x1c, y0c, y1c = clip_x(x0), clip_x(x1), clip_y(y0), clip_y(y1)
+
+    flat = image.reshape(b, h * w, c)
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).reshape(b, oh * ow)
+        out = jnp.take_along_axis(flat, idx[..., None], axis=1)
+        return out.reshape(b, oh, ow, c)
+
+    v00 = gather(y0c, x0c)
+    v01 = gather(y0c, x1c)
+    v10 = gather(y1c, x0c)
+    v11 = gather(y1c, x1c)
+
+    out = (v00 * (wy0 * wx0)[..., None] + v01 * (wy0 * wx1)[..., None]
+           + v10 * (wy1 * wx0)[..., None] + v11 * (wy1 * wx1)[..., None])
+
+    if padding_mode == "zeros":
+        # torch zero-pads per corner: a corner outside the image contributes 0.
+        def inb_x(v):
+            return (v >= 0) & (v <= w - 1)
+
+        def inb_y(v):
+            return (v >= 0) & (v <= h - 1)
+
+        m00 = (inb_y(y0) & inb_x(x0)).astype(image.dtype)
+        m01 = (inb_y(y0) & inb_x(x1)).astype(image.dtype)
+        m10 = (inb_y(y1) & inb_x(x0)).astype(image.dtype)
+        m11 = (inb_y(y1) & inb_x(x1)).astype(image.dtype)
+        out = (v00 * (wy0 * wx0 * m00)[..., None]
+               + v01 * (wy0 * wx1 * m01)[..., None]
+               + v10 * (wy1 * wx0 * m10)[..., None]
+               + v11 * (wy1 * wx1 * m11)[..., None])
+    elif padding_mode != "border":
+        raise ValueError(f"Unsupported padding_mode: {padding_mode}")
+
+    return out

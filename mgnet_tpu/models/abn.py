@@ -1,0 +1,129 @@
+"""Activated Batch Normalization (conv + cross-replica BN + activation).
+
+This is the TPU-native replacement for the reference's InPlaceABNSync
+(third-party C++/CUDA extension, used at every conv site — reference:
+mgnet/modeling/layers.py:9, res_net.py:6; see SURVEY.md §2.9).
+
+Design:
+* Under pjit with a global batch view, ``jnp.mean`` over the batch axis IS
+  the cross-replica statistic — XLA inserts the all-reduce over the data
+  mesh axis automatically. This replaces InPlaceABNSync's per-layer NCCL
+  all-reduce (group=dist.group.WORLD) with compiler-scheduled ICI
+  collectives, and composes with shard_map via ``axis_name`` if needed.
+* The memory-saving "in-place" trick is unnecessary on TPU: XLA
+  rematerialization (jax.checkpoint on the train step) provides the same
+  activation-memory savings.
+* Matches inplace_abn defaults: eps=1e-5, leaky_relu(0.01) activation, and
+  the reference's momentum=0.01 running-stat update
+  (running = 0.99 * running + 0.01 * batch).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+__all__ = ["ABN", "ConvABN", "kaiming_normal_fan_out", "mgnet_xavier_init"]
+
+# torch BN update: running = (1 - m) * running + m * batch, m = 0.01.
+# flax BatchNorm: ra = momentum * ra + (1 - momentum) * batch.
+BN_MOMENTUM = 0.99
+BN_EPS = 1e-5
+
+
+def kaiming_normal_fan_out(key, shape, dtype=jnp.float32):
+    """He-normal with fan_out mode over HWIO conv kernels.
+
+    Parity: detectron2 c2_msra_fill used for the backbone
+    (reference: res_net.py:64-66).
+    """
+    fan_out = shape[0] * shape[1] * shape[-1]  # kh * kw * out_c
+    std = jnp.sqrt(2.0 / fan_out)
+    return jax.random.normal(key, shape, dtype) * std
+
+
+def mgnet_xavier_init(key, shape, dtype=jnp.float32):
+    """kaiming_normal with a=1 (fan_in leaky-relu gain), HWIO kernels.
+
+    Parity: reference mgnet_xavier_fill (mgnet/modeling/layers.py:325-328):
+    torch kaiming_normal_(a=1) => std = sqrt(2 / (1 + a^2) / fan_in)
+    = sqrt(1 / fan_in).
+    """
+    fan_in = shape[0] * shape[1] * shape[2]  # kh * kw * in_c
+    std = jnp.sqrt(1.0 / fan_in)
+    return jax.random.normal(key, shape, dtype) * std
+
+
+_INITS = {
+    "default": kaiming_normal_fan_out,  # backbone / c2_msra
+    "xavier": mgnet_xavier_init,
+    "msra": kaiming_normal_fan_out,
+}
+
+
+class ABN(nn.Module):
+    """BatchNorm + activation over the channel axis of NHWC tensors.
+
+    activation: 'leaky_relu' (slope 0.01, inplace_abn default) or 'identity'.
+    Cross-replica sync happens implicitly through global-batch pjit
+    semantics; ``axis_name`` forces an explicit pmean when tracing under
+    shard_map/pmap.
+    """
+
+    activation: str = "leaky_relu"
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=self.momentum,
+            epsilon=self.epsilon,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+        if self.activation == "leaky_relu":
+            y = nn.leaky_relu(y, negative_slope=0.01)
+        elif self.activation != "identity":
+            raise ValueError(f"Unsupported ABN activation: {self.activation}")
+        return y
+
+
+class ConvABN(nn.Module):
+    """Conv2D (no bias) followed by ABN — the reference's Conv2d+InPlaceABNSync
+    building block (e.g. mgnet/modeling/layers.py:55-74)."""
+
+    features: int
+    kernel_size: Sequence[int] = (3, 3)
+    strides: Sequence[int] = (1, 1)
+    activation: str = "leaky_relu"
+    init_method: str = "default"
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        y = nn.Conv(
+            features=self.features,
+            kernel_size=tuple(self.kernel_size),
+            strides=tuple(self.strides),
+            padding="SAME",
+            use_bias=False,
+            kernel_init=_INITS[self.init_method],
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="conv",
+        )(x)
+        return ABN(
+            activation=self.activation,
+            axis_name=self.axis_name,
+            dtype=self.dtype,
+            name="abn",
+        )(y, train=train)
