@@ -1,0 +1,156 @@
+"""Depth post-processing: DGC metric rescaling + class filtering, on-device.
+
+Behavioral parity with reference: mgnet/postprocessing/depth_post_proc.py
+(unproject depth to camera points; surface normals from 4 cross products of
+the 8-neighborhood; ground mask from panoptic road class or the
+normal-verticality test; per-ground-pixel camera height; median; scale =
+real_height / median; sky/ego filtering to 0/NaN).
+
+TPU-first (SURVEY.md §7 hard part #4): the masked variable-size median
+becomes a fixed-shape masked sort + dynamic index; everything is
+jit-compatible and composes into the fused inference executable.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from mgnet_tpu.geometry import Camera
+
+__all__ = ["depth_postprocess", "surface_normals", "dgc_scale_factor"]
+
+
+def _normalize(v: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return v / jnp.sqrt(jnp.sum(v * v, axis=-1, keepdims=True) + eps)
+
+
+def surface_normals(points: jnp.ndarray, nei: int = 1) -> jnp.ndarray:
+    """Per-pixel surface normals from camera-frame points [B, H, W, 3].
+
+    Parity: reference depth_post_proc.py:114-152 — four cross products of
+    the 8-neighborhood difference vectors, averaged, normalized, and
+    replicate-padded back to full size.
+    """
+    c = points[:, nei:-nei, nei:-nei, :]
+    x0 = points[:, nei:-nei, : -2 * nei, :] - c
+    y0 = points[:, : -2 * nei, nei:-nei, :] - c
+    x1 = points[:, nei:-nei, 2 * nei:, :] - c
+    y1 = points[:, 2 * nei:, nei:-nei, :] - c
+    x0y0 = points[:, : -2 * nei, : -2 * nei, :] - c
+    x0y1 = points[:, 2 * nei:, : -2 * nei, :] - c
+    x1y0 = points[:, : -2 * nei, 2 * nei:, :] - c
+    x1y1 = points[:, 2 * nei:, 2 * nei:, :] - c
+
+    n0 = _normalize(jnp.cross(x0, y0))
+    n1 = _normalize(jnp.cross(x1, y1))
+    n2 = _normalize(jnp.cross(x0y0, x0y1))
+    n3 = _normalize(jnp.cross(x1y0, x1y1))
+    normals = _normalize((n0 + n1 + n2 + n3) / 4.0)
+    return jnp.pad(
+        normals, ((0, 0), (nei, nei), (nei, nei), (0, 0)), mode="edge"
+    )
+
+
+def _vertical_ground_mask(points: jnp.ndarray, normals: jnp.ndarray,
+                          threshold_deg: float = 5.0) -> jnp.ndarray:
+    """Geometric ground mask: near-vertical normals with y > 0.
+
+    Parity: reference depth_post_proc.py:154-185 (_get_ground_mask).
+    Returns [B, H, W] bool.
+    """
+    thr = math.cos(math.radians(threshold_deg))
+    vertical = jnp.asarray([0.0, 1.0, 0.0], points.dtype)
+    norm = jnp.sqrt(jnp.sum(normals * normals, axis=-1) + 1e-12)
+    cos_sim = jnp.einsum("bhwc,c->bhw", normals, vertical) / jnp.maximum(
+        norm, 1e-6
+    )
+    vertical_mask = (cos_sim > thr) | (cos_sim < -thr)
+    return vertical_mask & (points[..., 1] > 0)
+
+
+def _masked_median(values: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """torch.median semantics over masked elements: lower-middle element.
+
+    Fixed-shape: sort with +inf fill, then take index (count-1)//2.
+    """
+    flat_v = values.reshape(-1)
+    flat_m = mask.reshape(-1)
+    filled = jnp.where(flat_m, flat_v, jnp.inf)
+    sorted_v = jnp.sort(filled)
+    count = jnp.sum(flat_m.astype(jnp.int32))
+    idx = jnp.maximum((count - 1) // 2, 0)
+    return sorted_v[idx]
+
+
+def dgc_scale_factor(points: jnp.ndarray, real_camera_height: jnp.ndarray,
+                     ground_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Dynamic-Ground-Constraint scale: real_height / median est. height.
+
+    Parity: reference depth_post_proc.py:76-104 (_get_scale_recovery).
+
+    Args:
+        points: [B, H, W, 3] camera-frame points (unscaled).
+        real_camera_height: [B] or scalar metric mounting height.
+        ground_mask: [B, H, W] bool, or None to derive geometrically.
+    """
+    normals = surface_normals(points)
+    if ground_mask is None:
+        ground_mask = _vertical_ground_mask(points, normals)
+    heights = jnp.abs(jnp.sum(points * normals, axis=-1))  # [B, H, W]
+    med = jax.vmap(_masked_median)(heights, ground_mask)  # [B]
+    med = jnp.maximum(med, 1e-6)
+    return jnp.asarray(real_camera_height, points.dtype).reshape(-1) / med
+
+
+@partial(jax.jit, static_argnames=("use_dgc_scaling", "filter_class_ids",
+                                   "road_class_id"))
+def depth_postprocess(
+    depth: jnp.ndarray,
+    camera_matrix: Optional[jnp.ndarray] = None,
+    real_camera_height: Optional[jnp.ndarray] = None,
+    panoptic_seg: Optional[jnp.ndarray] = None,
+    *,
+    use_dgc_scaling: bool = True,
+    road_class_id: int = -1,
+    filter_class_ids: Sequence[int] = (),
+):
+    """Metric-rescale a depth prediction and unproject a point cloud.
+
+    Parity: reference depth_post_proc.py:11-73 (get_depth_prediction).
+
+    Args:
+        depth: [B, H, W, 1] predicted depth.
+        camera_matrix: [B, 3, 3] intrinsics (required for DGC).
+        real_camera_height: [B] metric camera height (required for DGC).
+        panoptic_seg: [B, H, W] panoptic ids or None.
+
+    Returns:
+        (depth [B, H, W], xyz_points [B, H, W, 3] or None)
+    """
+    depth = depth.astype(jnp.float32)
+    points = None
+    if use_dgc_scaling:
+        assert camera_matrix is not None and real_camera_height is not None
+        cam = Camera(K=camera_matrix.astype(jnp.float32))
+        points = cam.reconstruct(depth, frame="c")
+        ground_mask = None
+        if panoptic_seg is not None and road_class_id != -1:
+            ground_mask = panoptic_seg == road_class_id
+        scale = dgc_scale_factor(points, real_camera_height, ground_mask)
+        scale = scale.reshape(-1, 1, 1, 1)
+        depth = depth * scale
+        points = points * scale
+
+    depth2d = depth[..., 0]
+    if panoptic_seg is not None and filter_class_ids:
+        for cid in filter_class_ids:
+            m = panoptic_seg == cid
+            depth2d = jnp.where(m, 0.0, depth2d)
+            if points is not None:
+                points = jnp.where(m[..., None], jnp.nan, points)
+    return depth2d, points

@@ -1,0 +1,172 @@
+"""Panoptic fusion post-processing, fully on-device under XLA.
+
+Behavioral parity with reference: mgnet/postprocessing/panoptic_post_proc.py
+(center NMS via thresholded max-pool; offset-based pixel-to-center
+clustering; per-cluster majority class vote; stuff-area filtering;
+panoptic id = class_id * label_divisor + instance).
+
+TPU-first redesign (SURVEY.md §7 hard part #1): the reference's dynamic
+``torch.nonzero`` center extraction and boolean masked scatters become a
+fixed-K formulation — top-K NMS'd peaks with validity masks, a chunked
+[pixels, K] squared-distance argmin (MXU-friendly, bounded memory), and
+one-hot scatter-add class voting. Everything is jit-compatible with static
+shapes, so fusion compiles into the single-executable inference path
+(replacing the reference's CPU/TorchScript plugin).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["panoptic_fusion", "find_instance_centers"]
+
+
+def _max_pool_2d(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k x k stride-1 same-size max pool on [H, W]."""
+    pad = (k - 1) // 2
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (k, k), (1, 1), ((pad, pad), (pad, pad))
+    )
+
+
+def find_instance_centers(center_heatmap: jnp.ndarray, threshold: float,
+                          nms_kernel: int, max_instances: int):
+    """NMS'd top-K instance centers from a [H, W] heatmap.
+
+    Returns (centers_yx [K, 2] float32, valid [K] bool, scores [K]).
+    Parity: reference panoptic_post_proc.py:52-63, with the dynamic
+    ``nonzero`` replaced by fixed-K ``top_k``.
+    """
+    h, w = center_heatmap.shape
+    c = center_heatmap.astype(jnp.float32)
+    c = jnp.where(c > threshold, c, -1.0)
+    pooled = _max_pool_2d(c, nms_kernel)
+    keep = jnp.where(c == pooled, c, -1.0)
+    scores, flat_idx = jax.lax.top_k(keep.reshape(-1), max_instances)
+    ys = (flat_idx // w).astype(jnp.float32)
+    xs = (flat_idx % w).astype(jnp.float32)
+    valid = scores > 0
+    return jnp.stack([ys, xs], axis=-1), valid, scores
+
+
+def _cluster_pixels(centers_yx: jnp.ndarray, valid: jnp.ndarray,
+                    offsets: jnp.ndarray, thing_mask: jnp.ndarray,
+                    chunk_rows: int = 128) -> jnp.ndarray:
+    """Assign each thing pixel to its nearest center; 0 = stuff/unassigned.
+
+    offsets: [H, W, 2] (dy, dx). Returns [H, W] int32 cluster ids in
+    [0, K], where id k corresponds to centers_yx[k-1].
+
+    The [pixels, K] distance matrix is evaluated in row-chunks via
+    ``lax.map`` to bound live memory at full 1024x2048 resolution.
+    """
+    h, w, _ = offsets.shape
+    k = centers_yx.shape[0]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    py = ys + offsets[..., 0]
+    px = xs + offsets[..., 1]
+    pts = jnp.stack([py, px], axis=-1)  # [H, W, 2]
+
+    big = jnp.float32(1e12)
+    cy = jnp.where(valid[:, None], centers_yx, big)  # invalid centers far away
+
+    # pad rows to a multiple of chunk_rows
+    pad_rows = (-h) % chunk_rows
+    pts_p = jnp.pad(pts, ((0, pad_rows), (0, 0), (0, 0)))
+    n_chunks = (h + pad_rows) // chunk_rows
+    pts_c = pts_p.reshape(n_chunks, chunk_rows * w, 2)
+
+    def chunk_argmin(p):
+        # [chunk, 2] vs [K, 2] -> [chunk, K] squared distances
+        d = jnp.sum((p[:, None, :] - cy[None, :, :]) ** 2, axis=-1)
+        return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+    assign = jax.lax.map(chunk_argmin, pts_c).reshape(-1)[: h * w].reshape(h, w)
+    any_valid = jnp.any(valid)
+    cluster = jnp.where(thing_mask & any_valid, assign + 1, 0)
+    return cluster
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "num_classes", "last_stuff_id", "label_divisor", "stuff_area",
+        "void_label", "threshold", "nms_kernel", "max_instances",
+    ),
+)
+def panoptic_fusion(
+    sem_seg: jnp.ndarray,
+    center_heatmap: jnp.ndarray,
+    offsets: jnp.ndarray,
+    *,
+    num_classes: int,
+    last_stuff_id: int,
+    label_divisor: int = 1000,
+    stuff_area: int = 2048,
+    void_label: int = -1,
+    threshold: float = 0.3,
+    nms_kernel: int = 7,
+    max_instances: int = 128,
+) -> jnp.ndarray:
+    """Fuse semantic prediction + instance embeddings into a panoptic map.
+
+    Args:
+        sem_seg: [H, W] int predicted semantic train ids (argmax).
+        center_heatmap: [H, W] float center scores in [0, 1].
+        offsets: [H, W, 2] float (dy, dx) offsets in pixels.
+
+    Returns:
+        [H, W] int32 panoptic map: class_id * label_divisor + instance
+        (instance 0 for stuff), void_label where filtered.
+    """
+    h, w = sem_seg.shape
+    sem = sem_seg.astype(jnp.int32)
+    thing_mask = sem > last_stuff_id
+
+    centers, valid, _ = find_instance_centers(
+        center_heatmap, threshold, nms_kernel, max_instances
+    )
+    cluster = _cluster_pixels(centers, valid, offsets, thing_mask)
+
+    # ---- majority class vote per cluster (thing classes only) ----
+    # scatter-add counts[cluster, sem] for thing pixels
+    num_bins = (max_instances + 1) * num_classes
+    flat_bin = (cluster * num_classes + sem).reshape(-1)
+    votes = jnp.where(thing_mask, 1, 0).reshape(-1)
+    counts = jnp.zeros((num_bins,), jnp.int32).at[flat_bin].add(votes)
+    counts = counts.reshape(max_instances + 1, num_classes)
+    # restrict the vote to thing classes
+    class_range = jnp.arange(num_classes)
+    thing_class = class_range > last_stuff_id
+    counts = jnp.where(thing_class[None, :], counts, -1)
+    voted_class = jnp.argmax(counts, axis=-1).astype(jnp.int32)  # [K+1]
+
+    # panoptic id for each cluster k>=1: voted_class[k]*divisor + k
+    cluster_pan_id = voted_class * label_divisor + jnp.arange(max_instances + 1)
+
+    pan = jnp.where(
+        cluster > 0,
+        cluster_pan_id[cluster],
+        sem,
+    )
+
+    # ---- stuff area filter (reference :64-66; only k <= last_stuff_id) ----
+    stuff_counts = jnp.zeros((num_classes,), jnp.int32).at[
+        jnp.clip(pan, 0, num_classes - 1).reshape(-1)
+    ].add(jnp.where((pan >= 0) & (pan <= last_stuff_id), 1, 0).reshape(-1))
+    small_stuff = stuff_counts < stuff_area
+    is_stuff_label = (pan >= 0) & (pan <= last_stuff_id)
+    pan = jnp.where(
+        is_stuff_label & small_stuff[jnp.clip(pan, 0, num_classes - 1)],
+        void_label,
+        pan,
+    )
+
+    # remaining raw stuff labels -> class_id * divisor (instance 0)
+    is_raw_stuff = (pan >= 0) & (pan < label_divisor)
+    pan = jnp.where(is_raw_stuff, pan * label_divisor, pan)
+    return pan.astype(jnp.int32)
