@@ -1,0 +1,127 @@
+"""Panoptic Quality evaluator.
+
+Behavioral parity with reference: mgnet/evaluation/panoptic_evaluation.py —
+assign ignore_in_eval categories (ego vehicle) to VOID in both prediction
+and GT; build segments_info from the raw panoptic id map
+(category * label_divisor + instance); compute PQ/SQ/RQ for All / Things /
+Stuff. The reference round-trips predictions through PNG files and
+panopticapi; here the accumulation runs directly on arrays with the native
+PQ implementation (evaluation/pq.py), and the PNG writer remains available
+for artifact export.
+"""
+
+from __future__ import annotations
+
+import os
+from collections import OrderedDict
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from mgnet_tpu.evaluation.pq import (
+    PQStat,
+    pq_compute_single_image,
+    summarize_pq,
+)
+
+__all__ = ["PanopticEvaluator"]
+
+
+class PanopticEvaluator:
+    def __init__(self, metadata, output_dir: Optional[str] = None):
+        """metadata: a data.catalog.Metadata with categories /
+        label_divisor / ignore_in_eval / panoptic gt locations."""
+        self.meta = metadata
+        self.label_divisor = metadata.label_divisor
+        self.ignored_train_ids = [
+            c["trainId"] for c in metadata.ignore_in_eval
+        ]
+        self.thing_train_ids = set(
+            metadata.thing_dataset_id_to_contiguous_id.values()
+        )
+        # categories keyed by *train id* (predictions and our GT id maps
+        # both use train ids)
+        self.categories = {
+            c["trainId"]: {"id": c["trainId"], "isthing": c["isthing"],
+                           "name": c["name"]}
+            for c in metadata.categories
+            if not c["ignoreInEval"]
+        }
+        self.output_dir = output_dir
+        if output_dir:
+            os.makedirs(output_dir, exist_ok=True)
+        self.reset()
+
+    def reset(self):
+        self.stat = PQStat()
+        self.n_images = 0
+
+    @staticmethod
+    def _segments_from_map(pan: np.ndarray, label_divisor: int) -> List[dict]:
+        segs = []
+        for pid in np.unique(pan):
+            if pid <= 0:
+                continue
+            segs.append({
+                "id": int(pid),
+                "category_id": int(pid) // label_divisor,
+            })
+        return segs
+
+    def _to_eval_map(self, pan: np.ndarray) -> np.ndarray:
+        """Shift ids so VOID==0 and drop ignored categories."""
+        pan = pan.astype(np.int64).copy()
+        for tid in self.ignored_train_ids:
+            pan[pan // self.label_divisor == tid] = -1
+        return pan + 1  # VOID(-1) -> 0
+
+    def process(self, pred_panoptic: np.ndarray, gt_panoptic: np.ndarray,
+                gt_segments: Optional[List[dict]] = None):
+        """Accumulate one image.
+
+        Args:
+            pred_panoptic: [H, W] predicted ids
+                (class_trainId * divisor + instance, -1 void).
+            gt_panoptic: [H, W] GT ids in the same train-id encoding
+                (convert COCO-panoptic RGB gt via rgb2id + category
+                 remapping before calling).
+            gt_segments: optional segments_info with iscrowd flags; derived
+                from the map when absent (iscrowd=0).
+        """
+        pred = self._to_eval_map(pred_panoptic)
+        gt = self._to_eval_map(gt_panoptic)
+        pred_segs = [
+            {"id": s["id"] + 1, "category_id": s["category_id"]}
+            for s in self._segments_from_map(pred_panoptic, self.label_divisor)
+        ]
+        if gt_segments is None:
+            gt_segs = [
+                {"id": s["id"] + 1, "category_id": s["category_id"],
+                 "iscrowd": 0}
+                for s in self._segments_from_map(gt_panoptic, self.label_divisor)
+            ]
+        else:
+            gt_segs = [
+                {"id": s["id"] + 1, "category_id": s["category_id"],
+                 "iscrowd": s.get("iscrowd", 0)}
+                for s in gt_segments
+            ]
+        self.stat += pq_compute_single_image(
+            gt, pred, gt_segs, pred_segs, self.categories
+        )
+        self.n_images += 1
+
+    def evaluate(self) -> Dict[str, Dict[str, float]]:
+        pq_res = summarize_pq(self.stat, self.categories)
+        res = {
+            "PQ": 100 * pq_res["All"]["pq"],
+            "SQ": 100 * pq_res["All"]["sq"],
+            "RQ": 100 * pq_res["All"]["rq"],
+            "PQ_th": 100 * pq_res["Things"]["pq"],
+            "SQ_th": 100 * pq_res["Things"]["sq"],
+            "RQ_th": 100 * pq_res["Things"]["rq"],
+            "PQ_st": 100 * pq_res["Stuff"]["pq"],
+            "SQ_st": 100 * pq_res["Stuff"]["sq"],
+            "RQ_st": 100 * pq_res["Stuff"]["rq"],
+        }
+        return OrderedDict({"panoptic_seg": res})

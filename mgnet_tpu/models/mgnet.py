@@ -238,6 +238,22 @@ class MGNet(nn.Module):
         """[B, H, W, 9] (cur|prev|next concat) -> [B, 2, 6] pose vectors."""
         return self.pose_net(images_cat, train=train)
 
+    def forward_train(self, image: jnp.ndarray,
+                      image_prev: Optional[jnp.ndarray] = None,
+                      image_next: Optional[jnp.ndarray] = None) -> Dict[str, Any]:
+        """Training forward: heads + pose net in one variable scope.
+
+        Parity: reference mg_net.py:250-276 — the pose net consumes the
+        channel-concat of (cur, prev, next) normalized frames; heads run on
+        the current frame only.
+        """
+        out = self(image, train=True)
+        if self.with_depth:
+            assert image_prev is not None and image_next is not None
+            cat = jnp.concatenate([image, image_prev, image_next], axis=-1)
+            out["poses"] = self.pose_net(cat, train=True)
+        return out
+
 
 def build_model(cfg) -> MGNet:
     """Construct MGNet from a ConfigNode (reference: MGNet.from_config)."""

@@ -1,0 +1,65 @@
+"""Device mesh and sharding utilities — the TPU-native distribution layer.
+
+Replaces the reference's NCCL/DDP stack (SURVEY.md §2.9/§2.10):
+* process-per-GPU spawn + DDP gradient all-reduce
+  (reference tools/train_net.py:241-248) -> one SPMD program over a
+  ``jax.sharding.Mesh`` with the batch sharded on the ``data`` axis;
+  gradient averaging becomes an XLA-scheduled psum compiled into the step.
+* per-layer InPlaceABNSync stat all-reduce -> global-batch BN statistics
+  under pjit (see models/abn.py).
+* evaluator comm.gather -> process_allgather / host-0 aggregation.
+
+A ``model`` axis is reserved for XLA SPMD spatial partitioning of very
+large inputs (SURVEY.md §5 long-context note); it is size 1 by default.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "create_mesh",
+    "batch_sharding",
+    "replicated_sharding",
+    "shard_batch",
+]
+
+
+def create_mesh(data: int = -1, model: int = 1,
+                devices: Optional[list] = None) -> Mesh:
+    """Create a (data, model) mesh. data=-1 uses all available devices."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if data == -1:
+        data = n // model
+    assert data * model == n, (
+        f"mesh {data}x{model} does not cover {n} devices"
+    )
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dimension over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated_sharding(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: Any) -> Any:
+    """Place a host batch onto the mesh, batch-dim sharded on 'data'."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )

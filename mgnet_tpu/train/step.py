@@ -1,0 +1,186 @@
+"""The compiled training / evaluation step.
+
+Replaces the reference's AMPTrainer.run_step + MGNet.forward training
+branch (reference: mg_net.py:220-373, tools/train_net.py hot loop,
+SURVEY.md §3.1): one jitted SPMD function computes the forward pass (heads
++ pose net), assembles all losses, applies homoscedastic uncertainty
+weighting, differentiates, clips, and applies the optimizer — gradient
+averaging and sync-BN statistics ride XLA collectives over the mesh's
+``data`` axis instead of NCCL.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mgnet_tpu.losses import (
+    center_loss,
+    cross_entropy_loss,
+    deeplab_ce_loss,
+    multi_view_photometric_loss,
+    offset_loss,
+    ohem_ce_loss,
+)
+from mgnet_tpu.train.state import TrainState
+
+__all__ = [
+    "normalize_images",
+    "compute_losses",
+    "apply_uncertainty",
+    "make_train_step",
+    "make_eval_step",
+]
+
+
+def normalize_images(images: jnp.ndarray, pixel_mean, pixel_std) -> jnp.ndarray:
+    """uint8/float [B,H,W,3] -> normalized float32.
+
+    Parity: reference mg_net.py:250-252 — /255, then (x - mean/255)/(std/255).
+    """
+    x = images.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(pixel_mean, jnp.float32) / 255.0
+    std = jnp.asarray(pixel_std, jnp.float32) / 255.0
+    return (x - mean) / std
+
+
+def compute_losses(cfg, outputs: Dict[str, Any],
+                   batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
+    """Assemble the (unweighted) per-task losses.
+
+    Parity: reference mg_net.py:351-357 + head .losses() methods.
+    Loss key order matters for the uncertainty log_vars indexing
+    (reference mg_net.py:360-372 iterates the dict in insertion order).
+    """
+    losses: Dict[str, jnp.ndarray] = {}
+    if cfg.WITH_PANOPTIC:
+        h = cfg.MODEL.SEM_SEG_HEAD
+        lt = h.LOSS_TYPE
+        if lt == "ohem":
+            sem = ohem_ce_loss(
+                outputs["sem_seg"], batch["sem_seg"], batch["sem_seg_weights"],
+                ignore_label=h.IGNORE_VALUE, ohem_threshold=h.OHEM_THRESHOLD,
+                n_min=h.OHEM_N_MIN,
+            )
+        elif lt == "hard_pixel_mining":
+            sem = deeplab_ce_loss(
+                outputs["sem_seg"], batch["sem_seg"], batch["sem_seg_weights"],
+                ignore_label=h.IGNORE_VALUE, top_k_percent=h.LOSS_TOP_K,
+            )
+        elif lt == "cross_entropy":
+            sem = cross_entropy_loss(
+                outputs["sem_seg"], batch["sem_seg"], batch["sem_seg_weights"],
+                ignore_label=h.IGNORE_VALUE,
+            )
+        else:
+            raise ValueError(f"Unexpected loss type: {lt}")
+        losses["loss_sem_seg"] = sem * h.LOSS_WEIGHT
+
+        ih = cfg.MODEL.INS_EMBED_HEAD
+        losses["loss_center"] = center_loss(
+            outputs["center"], batch["center"], batch["center_weights"]
+        ) * ih.CENTER_LOSS_WEIGHT
+        losses["loss_offset"] = offset_loss(
+            outputs["offset"], batch["offset"], batch["offset_weights"]
+        ) * ih.OFFSET_LOSS_WEIGHT
+
+    if cfg.WITH_DEPTH:
+        dh = cfg.MODEL.DEPTH_HEAD
+        photo = multi_view_photometric_loss(
+            outputs["inv_depths"],
+            outputs["poses"],
+            batch["camera_matrix"],
+            batch["image_orig"],
+            [batch["image_prev_orig"], batch["image_next_orig"]],
+            batch.get("reprojection_mask"),
+            ssim_loss_weight=dh.SSIM_LOSS_WEIGHT,
+            photometric_loss_weight=dh.PHOTOMETRIC_LOSS_WEIGHT,
+            smoothing_loss_weight=dh.SMOOTHING_LOSS_WEIGHT,
+            automask_loss=dh.AUTOMASK_LOSS,
+            photometric_reduce_op=dh.PHOTOMETRIC_REDUCE_OP,
+            padding_mode=dh.PADDING_MODE,
+        )
+        losses.update(photo)
+    return losses
+
+
+def apply_uncertainty(losses: Dict[str, jnp.ndarray],
+                      log_vars: jnp.ndarray) -> Tuple[Dict, Dict]:
+    """Homoscedastic task-uncertainty weighting.
+
+    Parity: reference mg_net.py:360-372 — loss_i <- tau * exp(-s_i) *
+    loss_i + 0.5 * s_i with tau=1.0 for sem_seg else 0.5; also report the
+    raw losses and exp(s_i).
+    """
+    weighted: Dict[str, jnp.ndarray] = {}
+    metrics: Dict[str, jnp.ndarray] = {}
+    for idx, (key, value) in enumerate(losses.items()):
+        metrics[key + "_raw"] = value
+        tau = 1.0 if key == "loss_sem_seg" else 0.5
+        s = log_vars[idx]
+        weighted[key] = tau * jnp.exp(-s) * value + 0.5 * s
+        metrics[key + "_uncertainty"] = jnp.exp(s)
+    return weighted, metrics
+
+
+def make_train_step(cfg, model) -> Callable:
+    """Build the jittable train step: (state, batch) -> (state, metrics).
+
+    The returned function is pure; wrap it in jax.jit with mesh shardings
+    (batch sharded on 'data', state replicated) for multi-chip training.
+    """
+    pixel_mean = tuple(cfg.MODEL.PIXEL_MEAN)
+    pixel_std = tuple(cfg.MODEL.PIXEL_STD)
+    with_depth = cfg.WITH_DEPTH
+    with_uncertainty = cfg.WITH_UNCERTAINTY
+
+    def loss_fn(params, batch_stats, batch):
+        variables = {"params": params["model"], "batch_stats": batch_stats}
+        image = normalize_images(batch["image"], pixel_mean, pixel_std)
+        kwargs = {}
+        if with_depth:
+            kwargs = dict(
+                image_prev=normalize_images(
+                    batch["image_prev"], pixel_mean, pixel_std),
+                image_next=normalize_images(
+                    batch["image_next"], pixel_mean, pixel_std),
+            )
+        outputs, mutated = model.apply(
+            variables, image, method=type(model).forward_train,
+            mutable=["batch_stats"], **kwargs,
+        )
+        losses = compute_losses(cfg, outputs, batch)
+        metrics = {}
+        if with_uncertainty:
+            losses, metrics = apply_uncertainty(losses, params["log_vars"])
+        total = sum(losses.values())
+        metrics.update(losses)
+        metrics["loss_total"] = total
+        return total, (mutated["batch_stats"], metrics)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, batch
+        )
+        new_state = state.apply_gradients(grads).replace(
+            batch_stats=new_stats
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(cfg, model) -> Callable:
+    """Raw inference step: normalized forward returning head outputs."""
+    pixel_mean = tuple(cfg.MODEL.PIXEL_MEAN)
+    pixel_std = tuple(cfg.MODEL.PIXEL_STD)
+
+    def eval_step(params, batch_stats, images):
+        variables = {"params": params["model"], "batch_stats": batch_stats}
+        x = normalize_images(images, pixel_mean, pixel_std)
+        return model.apply(variables, x, train=False)
+
+    return eval_step
