@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark: fused joint panoptic+depth inference at 1024x2048.
+
+Mirrors the reference's TensorRT latency benchmark
+(reference: trt_inference/main.cpp:207-235 — 10-iteration warmup, then
+steady-state per-frame wall clock on the full model + post-processing
+pipeline). Here the whole pipeline is ONE XLA executable on a single TPU
+chip. Baseline target: >= 30 fps (BASELINE.md north star).
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from mgnet_tpu.config import get_default_config
+    from mgnet_tpu.data.categories import (
+        CITYSCAPES_SCENE_SEG_CATEGORIES,
+        build_meta,
+    )
+    from mgnet_tpu.data.catalog import Metadata
+    from mgnet_tpu.inference.fused import (
+        build_fused_inference,
+        statics_from_meta,
+    )
+    from mgnet_tpu.models.mgnet import build_model
+
+    height, width = 1024, 2048
+    cfg = get_default_config()
+    cfg.INPUT.IGNORED_CATEGORIES_IN_DEPTH = ["ego vehicle", "sky"]
+
+    model = build_model(cfg)
+    rng = jax.random.PRNGKey(0)
+    # init at small size (params are shape-independent), run at full res
+    dummy = jnp.zeros((1, 128, 256, 3), jnp.float32)
+    variables = model.init(rng, dummy, train=False)
+    params = {"model": variables["params"]}
+    batch_stats = variables.get("batch_stats", {})
+
+    meta = Metadata(name="bench").set(
+        **build_meta(CITYSCAPES_SCENE_SEG_CATEGORIES)
+    )
+    statics = statics_from_meta(cfg, meta)
+    fused = jax.jit(build_fused_inference(
+        model, statics,
+        tuple(cfg.MODEL.PIXEL_MEAN), tuple(cfg.MODEL.PIXEL_STD),
+    ))
+
+    image = jnp.asarray(
+        np.random.RandomState(0).randint(0, 255, (1, height, width, 3)),
+        jnp.float32,
+    )
+    K = jnp.asarray(
+        np.array([[[2262.52, 0, 1096.98],
+                   [0, 2265.30, 513.137],
+                   [0, 0, 1]]], np.float32)
+    )
+    cam_h = jnp.asarray([1.22], jnp.float32)
+
+    # warmup (compile + cache)
+    for _ in range(10):
+        out = fused(params, batch_stats, image, camera_matrix=K,
+                    camera_height=cam_h)
+    jax.block_until_ready(out)
+
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fused(params, batch_stats, image, camera_matrix=K,
+                    camera_height=cam_h)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    fps = iters / dt
+    print(json.dumps({
+        "metric": "joint_panoptic_depth_inference_fps_1024x2048",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 30.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

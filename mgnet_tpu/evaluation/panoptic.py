@@ -82,30 +82,39 @@ class PanopticEvaluator:
         Args:
             pred_panoptic: [H, W] predicted ids
                 (class_trainId * divisor + instance, -1 void).
-            gt_panoptic: [H, W] GT ids in the same train-id encoding
-                (convert COCO-panoptic RGB gt via rgb2id + category
-                 remapping before calling).
-            gt_segments: optional segments_info with iscrowd flags; derived
-                from the map when absent (iscrowd=0).
+            gt_panoptic: [H, W] GT ids. When ``gt_segments`` is None, the
+                same train-id encoding as predictions; otherwise raw
+                COCO-panoptic ids (rgb2id of the gt PNG) matched to
+                ``gt_segments`` entries by 'id' (category_id already
+                remapped to train ids by the dataset registry).
+            gt_segments: optional segments_info with id / category_id
+                (train id) / iscrowd.
         """
         pred = self._to_eval_map(pred_panoptic)
-        gt = self._to_eval_map(gt_panoptic)
         pred_segs = [
             {"id": s["id"] + 1, "category_id": s["category_id"]}
             for s in self._segments_from_map(pred_panoptic, self.label_divisor)
         ]
         if gt_segments is None:
+            gt = self._to_eval_map(gt_panoptic)
             gt_segs = [
                 {"id": s["id"] + 1, "category_id": s["category_id"],
                  "iscrowd": 0}
                 for s in self._segments_from_map(gt_panoptic, self.label_divisor)
             ]
         else:
-            gt_segs = [
-                {"id": s["id"] + 1, "category_id": s["category_id"],
-                 "iscrowd": s.get("iscrowd", 0)}
-                for s in gt_segments
-            ]
+            # raw COCO ids: void ignored-category segments (reference
+            # filters them from the gt json, panoptic_evaluation.py:139-145)
+            gt = gt_panoptic.astype(np.int64).copy()
+            gt_segs = []
+            for s in gt_segments:
+                if s["category_id"] in self.ignored_train_ids:
+                    gt[gt == s["id"]] = 0
+                    continue
+                gt_segs.append({
+                    "id": s["id"], "category_id": s["category_id"],
+                    "iscrowd": s.get("iscrowd", 0),
+                })
         self.stat += pq_compute_single_image(
             gt, pred, gt_segs, pred_segs, self.categories
         )

@@ -1,0 +1,153 @@
+"""Fused single-executable inference: model + panoptic fusion + DGC depth.
+
+This is the TPU-native replacement for the reference's deployment path
+(ExportableMGNet -> ONNX -> TensorRT engine + TorchScript postprocessing,
+reference: tools/onnx_trt_export.py, trt_inference/main.cpp,
+mgnet/postprocessing/exportable_post_proc.py): the full pipeline —
+normalization, backbone, GCM, three heads, semantic argmax, center NMS,
+offset grouping, panoptic fusion, DGC metric rescaling and point-cloud
+unprojection — compiles into ONE XLA executable. No host round-trips, no
+plugins; bf16 conv stack with fp32 post-processing islands (the reference
+forces fp32 in postproc via custom_fwd, panoptic_post_proc.py:8).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mgnet_tpu.postprocessing.depth import dgc_scale_factor
+from mgnet_tpu.postprocessing.panoptic import panoptic_fusion
+from mgnet_tpu.train.step import normalize_images
+
+__all__ = ["PostprocessStatics", "build_fused_inference", "statics_from_meta"]
+
+
+class PostprocessStatics(NamedTuple):
+    """Static (compile-time) dataset facts for the fused pipeline."""
+
+    num_classes: int
+    last_stuff_id: int
+    label_divisor: int = 1000
+    stuff_area: int = 2048
+    center_threshold: float = 0.3
+    nms_kernel: int = 7
+    max_instances: int = 128
+    road_class_id: int = -1        # panoptic id (trainId * divisor)
+    depth_filter_ids: Tuple[int, ...] = ()
+    use_dgc: bool = True
+
+
+def statics_from_meta(cfg, metadata) -> PostprocessStatics:
+    """Derive statics from dataset metadata (reference MGNet.from_config,
+    mg_net.py:155-192)."""
+    divisor = metadata.label_divisor
+    stuff_ids = metadata.stuff_dataset_id_to_contiguous_id.values()
+    road = next(
+        (c["trainId"] for c in metadata.categories if c["name"] == "road"),
+        None,
+    )
+    filter_ids = tuple(
+        c["trainId"] * divisor
+        for c in metadata.categories
+        if c["name"] in cfg.INPUT.IGNORED_CATEGORIES_IN_DEPTH
+    )
+    return PostprocessStatics(
+        num_classes=len(metadata.categories),
+        last_stuff_id=max(stuff_ids),
+        label_divisor=divisor,
+        stuff_area=cfg.MODEL.POST_PROCESSING.STUFF_AREA,
+        center_threshold=cfg.MODEL.POST_PROCESSING.CENTER_THRESHOLD,
+        nms_kernel=cfg.MODEL.POST_PROCESSING.NMS_KERNEL,
+        max_instances=cfg.MODEL.POST_PROCESSING.MAX_INSTANCES,
+        road_class_id=(road * divisor) if road is not None else -1,
+        depth_filter_ids=filter_ids,
+        use_dgc=cfg.MODEL.POST_PROCESSING.USE_DGC_SCALING,
+    )
+
+
+def build_fused_inference(model, statics: PostprocessStatics,
+                          pixel_mean, pixel_std,
+                          with_panoptic: bool = True,
+                          with_depth: bool = True,
+                          return_point_cloud: bool = True):
+    """Build the jittable fused inference function.
+
+    Returns fn(params, batch_stats, image [B,H,W,3] raw RGB,
+               camera_matrix [B,3,3], camera_height [B]) -> dict with
+        'sem_seg'   [B,H,W]   int32 argmax classes
+        'panoptic'  [B,H,W]   int32 panoptic ids (class*divisor + inst)
+        'center'    [B,H,W]   f32 heatmap
+        'offset'    [B,H,W,2] f32
+        'depth'     [B,H,W]   f32 metric depth (DGC-rescaled)
+        'points'    [B,H,W,3] f32 camera-frame point cloud
+    """
+    s = statics
+
+    def fused(params, batch_stats, image, camera_matrix=None,
+              camera_height=None):
+        variables = {"params": params["model"], "batch_stats": batch_stats}
+        x = normalize_images(image, pixel_mean, pixel_std)
+        out = model.apply(variables, x, train=False)
+        result: Dict[str, jnp.ndarray] = {}
+
+        if with_panoptic:
+            sem_logits = out["sem_seg"].astype(jnp.float32)
+            sem = jnp.argmax(sem_logits, axis=-1).astype(jnp.int32)
+            center = out["center"][..., 0].astype(jnp.float32)
+            offset = out["offset"].astype(jnp.float32)
+            fuse = partial(
+                panoptic_fusion,
+                num_classes=s.num_classes,
+                last_stuff_id=s.last_stuff_id,
+                label_divisor=s.label_divisor,
+                stuff_area=s.stuff_area,
+                void_label=-1,
+                threshold=s.center_threshold,
+                nms_kernel=s.nms_kernel,
+                max_instances=s.max_instances,
+            )
+            panoptic = jax.vmap(fuse)(sem, center, offset)
+            result.update(
+                sem_seg=sem, sem_seg_logits=sem_logits, center=center,
+                offset=offset, panoptic=panoptic,
+            )
+
+        if with_depth:
+            depth = out["depth"].astype(jnp.float32)  # [B,H,W,1]
+            panoptic = result.get("panoptic")
+            if s.use_dgc and camera_matrix is not None:
+                from mgnet_tpu.geometry import Camera
+
+                cam = Camera(K=camera_matrix.astype(jnp.float32))
+                points = cam.reconstruct(depth, frame="c")
+                ground = (
+                    (panoptic == s.road_class_id)
+                    if (panoptic is not None and s.road_class_id != -1)
+                    else None
+                )
+                scale = dgc_scale_factor(
+                    points, camera_height, ground
+                ).reshape(-1, 1, 1, 1)
+                depth = depth * scale
+                points = points * scale
+            else:
+                points = None
+
+            depth2d = depth[..., 0]
+            if panoptic is not None:
+                for cid in s.depth_filter_ids:
+                    m = panoptic == cid
+                    depth2d = jnp.where(m, 0.0, depth2d)
+                    if points is not None:
+                        points = jnp.where(m[..., None], jnp.nan, points)
+            result["depth"] = depth2d
+            if points is not None and return_point_cloud:
+                result["points"] = points
+
+        return result
+
+    return fused

@@ -1,0 +1,104 @@
+"""Single-image predictor.
+
+Behavioral parity with reference: mgnet/inference/predictor.py
+(MGNetPredictor): load checkpoint, resize shortest edge to the test size,
+build the camera matrix from calibration info, run the model + full
+post-processing, return per-image results.
+
+TPU-first: the whole forward + post-processing is the fused jitted
+executable (inference/fused.py); resize-to-original happens on device via
+the align-corners bilinear matmul resize.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from mgnet_tpu.data.catalog import MetadataCatalog
+from mgnet_tpu.data.mapper import TestDatasetMapper
+from mgnet_tpu.inference.fused import build_fused_inference, statics_from_meta
+from mgnet_tpu.models.mgnet import build_model
+
+__all__ = ["Predictor"]
+
+
+class Predictor:
+    def __init__(self, cfg, params=None, batch_stats=None,
+                 checkpoint_path: Optional[str] = None,
+                 calibration_info: Optional[Dict] = None,
+                 dataset_name: Optional[str] = None):
+        import jax
+
+        self.cfg = cfg
+        self.model = build_model(cfg)
+        if params is None:
+            if checkpoint_path or cfg.MODEL.WEIGHTS:
+                from mgnet_tpu.utils.checkpoint import load_params
+
+                params, batch_stats = load_params(
+                    checkpoint_path or cfg.MODEL.WEIGHTS
+                )
+            else:
+                dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+                variables = self.model.init(
+                    jax.random.PRNGKey(0), dummy, train=False
+                )
+                params = {"model": variables["params"]}
+                batch_stats = variables.get("batch_stats", {})
+        self.params = params
+        self.batch_stats = batch_stats
+
+        name = dataset_name or cfg.DATASETS.TEST[0]
+        meta = MetadataCatalog.get(name)
+        statics = statics_from_meta(cfg, meta)
+        self.fused = jax.jit(build_fused_inference(
+            self.model, statics,
+            tuple(cfg.MODEL.PIXEL_MEAN), tuple(cfg.MODEL.PIXEL_STD),
+            with_panoptic=cfg.WITH_PANOPTIC, with_depth=cfg.WITH_DEPTH,
+        ))
+        self.mapper = TestDatasetMapper(cfg)
+        self.calibration_info = calibration_info
+
+    def __call__(self, image: np.ndarray,
+                 camera_matrix: Optional[np.ndarray] = None,
+                 camera_height: Optional[float] = None) -> Dict:
+        """image: [H, W, 3] uint8 RGB. Returns numpy results dict."""
+        h, w = image.shape[:2]
+        t = self.mapper._resize(h, w)
+        resized = t.apply_image(image).astype(np.float32)
+        if camera_matrix is None and self.calibration_info is not None:
+            intr = self.calibration_info["intrinsic"]
+            camera_matrix = np.array(
+                [[intr["fx"], 0, intr["u0"]],
+                 [0, intr["fy"], intr["v0"]],
+                 [0, 0, 1]], np.float32,
+            )
+            camera_height = self.calibration_info["extrinsic"]["z"]
+        if camera_matrix is not None:
+            # co-augment intrinsics with the resize
+            oc = t.apply_coords(np.array(
+                [[camera_matrix[0, 2], camera_matrix[1, 2]]]
+            ))
+            fl = t.apply_focal(np.array(
+                [[camera_matrix[0, 0], camera_matrix[1, 1]]]
+            ))
+            camera_matrix = np.array(
+                [[fl[0, 0], 0, oc[0, 0]],
+                 [0, fl[0, 1], oc[0, 1]],
+                 [0, 0, 1]], np.float32,
+            )
+        kwargs = {}
+        if camera_matrix is not None:
+            kwargs["camera_matrix"] = jnp.asarray(camera_matrix)[None]
+            kwargs["camera_height"] = jnp.asarray(
+                [camera_height if camera_height is not None else 1.0],
+                jnp.float32,
+            )
+        out = self.fused(
+            self.params, self.batch_stats, jnp.asarray(resized)[None],
+            **kwargs,
+        )
+        return {k: np.asarray(v[0]) for k, v in out.items()}

@@ -1,0 +1,235 @@
+"""The training orchestrator: data, compiled step, checkpoints, eval.
+
+Replaces the reference's detectron2 DefaultTrainer subclass + launch()
+multi-process runtime (reference: tools/train_net.py:37-248; SURVEY.md
+§3.1): a single-controller SPMD loop — one process drives the whole mesh;
+the compiled train step embeds gradient averaging and sync-BN collectives;
+checkpoints via Orbax; periodic evaluation drives the evaluator stack.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mgnet_tpu.data import (
+    DatasetCatalog,
+    MetadataCatalog,
+    TestDatasetMapper,
+    TrainDatasetMapper,
+    TrainLoader,
+    read_image,
+    rgb2id,
+)
+from mgnet_tpu.evaluation import (
+    DepthEvaluator,
+    PanopticEvaluator,
+    SemSegEvaluator,
+)
+from mgnet_tpu.geometry.image import interpolate_bilinear
+from mgnet_tpu.inference.fused import statics_from_meta
+from mgnet_tpu.models.mgnet import build_model
+from mgnet_tpu.parallel import create_mesh, replicated_sharding, shard_batch
+from mgnet_tpu.postprocessing import depth_postprocess, panoptic_fusion
+from mgnet_tpu.train.state import create_train_state
+from mgnet_tpu.train.step import make_eval_step, make_train_step
+from mgnet_tpu.utils.checkpoint import CheckpointManager
+from mgnet_tpu.utils.events import MetricLogger
+
+__all__ = ["Trainer", "evaluate_dataset"]
+
+
+class Trainer:
+    def __init__(self, cfg, output_dir: Optional[str] = None):
+        self.cfg = cfg
+        self.output_dir = output_dir or cfg.OUTPUT_DIR
+        os.makedirs(self.output_dir, exist_ok=True)
+
+        self.mesh = create_mesh(cfg.MESH.DATA, cfg.MESH.MODEL)
+        self.model = build_model(cfg)
+
+        crop = cfg.INPUT.CROP.SIZE if cfg.INPUT.CROP.ENABLED else (512, 512)
+        n_dev = self.mesh.devices.size
+        batch = cfg.SOLVER.IMS_PER_BATCH
+        assert batch % n_dev == 0, (
+            f"IMS_PER_BATCH={batch} must divide over {n_dev} devices"
+        )
+        self.state = create_train_state(
+            cfg, self.model, jax.random.PRNGKey(cfg.SEED),
+            sample_shape=(batch, crop[0], crop[1], 3),
+        )
+        self.state = jax.device_put(
+            self.state, replicated_sharding(self.mesh)
+        )
+        self.train_step = jax.jit(make_train_step(cfg, self.model),
+                                  donate_argnums=(0,))
+        self.ckpt = CheckpointManager(
+            os.path.join(self.output_dir, "checkpoints")
+        )
+        self.logger = MetricLogger(self.output_dir)
+
+        dataset_name = cfg.DATASETS.TRAIN[0]
+        dataset = DatasetCatalog.get(dataset_name)
+        mapper = TrainDatasetMapper(cfg, dataset_name=dataset_name)
+        self.loader = TrainLoader(
+            dataset, mapper, batch_size=batch, seed=cfg.SEED,
+            num_workers=cfg.DATALOADER.NUM_WORKERS,
+            prefetch=cfg.DATALOADER.PREFETCH,
+            divisibility=cfg.MODEL.SIZE_DIVISIBILITY,
+        )
+
+    def resume_or_load(self, resume: bool = True):
+        if resume:
+            self.state, restored = self.ckpt.restore(self.state)
+            if restored:
+                print(f"Resumed from step {int(self.state.step)}")
+
+    def train(self):
+        cfg = self.cfg
+        max_iter = cfg.SOLVER.MAX_ITER
+        start = int(self.state.step)
+        it = iter(self.loader)
+        t_last = time.time()
+        for i in range(start, max_iter):
+            batch = next(it)
+            batch = shard_batch(self.mesh, batch)
+            self.state, metrics = self.train_step(self.state, batch)
+            if (i + 1) % 20 == 0 or i == start:
+                host = {k: float(v) for k, v in metrics.items()}
+                host["iter_time"] = (time.time() - t_last) / 20
+                t_last = time.time()
+                self.logger.log(i + 1, host)
+            if (i + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or i + 1 == max_iter:
+                self.ckpt.save(i + 1, self.state)
+            if cfg.TEST.EVAL_PERIOD > 0 and (i + 1) % cfg.TEST.EVAL_PERIOD == 0:
+                results = self.test()
+                flat = {
+                    f"eval/{grp}/{k}": v
+                    for grp, d in results.items() for k, v in d.items()
+                }
+                self.logger.log(i + 1, flat)
+        self.ckpt.wait()
+        self.loader.close()
+
+    def test(self) -> Dict[str, Dict[str, float]]:
+        return evaluate_dataset(
+            self.cfg, self.model,
+            jax.device_get(self.state.params),
+            jax.device_get(self.state.batch_stats),
+        )
+
+
+def evaluate_dataset(cfg, model, params, batch_stats,
+                     dataset_name: Optional[str] = None,
+                     max_samples: Optional[int] = None
+                     ) -> Dict[str, Dict[str, float]]:
+    """Run the full evaluator stack over a test split.
+
+    Parity: reference Trainer.test + inference_on_dataset (SURVEY.md §3.2):
+    raw forward -> resize outputs to original resolution -> panoptic fusion
+    -> DGC depth -> PanopticEvaluator / SemSegEvaluator / DepthEvaluator.
+    """
+    dataset_name = dataset_name or cfg.DATASETS.TEST[0]
+    dataset = DatasetCatalog.get(dataset_name)
+    if max_samples:
+        dataset = dataset[:max_samples]
+    meta = MetadataCatalog.get(dataset_name)
+    mapper = TestDatasetMapper(cfg, dataset_name=dataset_name)
+    statics = statics_from_meta(cfg, meta)
+
+    eval_step = jax.jit(make_eval_step(cfg, model), static_argnums=())
+    evaluators = {}
+    if cfg.WITH_PANOPTIC:
+        evaluators["panoptic"] = PanopticEvaluator(meta)
+        if cfg.TEST.EVAL_SEMANTIC:
+            evaluators["semantic"] = SemSegEvaluator(meta)
+    if cfg.WITH_DEPTH:
+        evaluators["depth"] = DepthEvaluator(
+            min_depth=cfg.TEST.MIN_DEPTH, max_depth=cfg.TEST.MAX_DEPTH,
+            use_gt_scale=not cfg.MODEL.POST_PROCESSING.USE_DGC_SCALING,
+            use_eigen_crop="kitti" in dataset_name,
+        )
+
+    div = cfg.MODEL.SIZE_DIVISIBILITY
+    for d in dataset:
+        sample = mapper(d)
+        img = sample["image"]
+        h2, w2 = img.shape[:2]
+        ph = -(-h2 // div) * div
+        pw = -(-w2 // div) * div
+        padded = np.zeros((ph, pw, 3), np.float32)
+        padded[:h2, :w2] = img
+        out = eval_step(params, batch_stats, jnp.asarray(padded)[None])
+
+        height, width = sample["height"], sample["width"]
+
+        def to_full(x):
+            x = x[:, :h2, :w2]
+            return interpolate_bilinear(x, (height, width))
+
+        result = {}
+        if cfg.WITH_PANOPTIC:
+            sem_logits = to_full(out["sem_seg"].astype(jnp.float32))
+            center = to_full(out["center"].astype(jnp.float32))
+            offset = to_full(out["offset"].astype(jnp.float32))
+            sem = jnp.argmax(sem_logits[0], axis=-1).astype(jnp.int32)
+            pan = panoptic_fusion(
+                sem, center[0, ..., 0], offset[0],
+                num_classes=statics.num_classes,
+                last_stuff_id=statics.last_stuff_id,
+                label_divisor=statics.label_divisor,
+                stuff_area=statics.stuff_area,
+                void_label=-1,
+                threshold=statics.center_threshold,
+                nms_kernel=statics.nms_kernel,
+                max_instances=statics.max_instances,
+            )
+            pan_np = np.asarray(pan)
+            result["panoptic"] = pan_np
+            gt_meta = sample.get("meta", {})
+            if gt_meta.get("pan_seg_file_name"):
+                gt_pan = rgb2id(read_image(gt_meta["pan_seg_file_name"]))
+                evaluators["panoptic"].process(
+                    pan_np, gt_pan, gt_meta.get("segments_info")
+                )
+                if "semantic" in evaluators:
+                    # semantic GT from the panoptic map + segments
+                    gt_sem = np.full_like(gt_pan, 255, dtype=np.int32)
+                    for s in gt_meta.get("segments_info", []):
+                        gt_sem[gt_pan == s["id"]] = s["category_id"]
+                    evaluators["semantic"].process(np.asarray(sem), gt_sem)
+
+        if cfg.WITH_DEPTH:
+            depth = to_full(out["depth"].astype(jnp.float32))
+            dpp, _ = depth_postprocess(
+                depth,
+                jnp.asarray(sample["camera_matrix"])[None]
+                if "camera_matrix" in sample else None,
+                jnp.asarray([sample.get("camera_height", 1.0)], jnp.float32),
+                jnp.asarray(result["panoptic"])[None]
+                if "panoptic" in result else None,
+                use_dgc_scaling=cfg.MODEL.POST_PROCESSING.USE_DGC_SCALING,
+                road_class_id=statics.road_class_id,
+                filter_class_ids=statics.depth_filter_ids,
+            )
+            gt_meta = sample.get("meta", {})
+            if gt_meta.get("depth_file_name") or gt_meta.get(
+                "disparity_file_name"
+            ):
+                evaluators["depth"].process(
+                    np.asarray(dpp[0]),
+                    {**gt_meta,
+                     "calibration_info": gt_meta.get("calibration_info")},
+                )
+
+    results: Dict[str, Dict[str, float]] = {}
+    for ev in evaluators.values():
+        out = ev.evaluate()
+        for k, v in out.items():
+            results[k] = v
+    return results

