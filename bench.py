@@ -70,11 +70,18 @@ def main():
                     camera_height=cam_h)
     jax.block_until_ready(out)
 
+    # steady state: distinct input per iteration (prevents any
+    # duplicate-computation caching) with a data dependency chaining
+    # each frame to the previous result, so iterations serialize like a
+    # real camera stream.
     iters = 50
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fused(params, batch_stats, image, camera_matrix=K,
+    carry = jnp.float32(0.0)
+    for i in range(iters):
+        frame = image + carry
+        out = fused(params, batch_stats, frame, camera_matrix=K,
                     camera_height=cam_h)
+        carry = out["depth"][0, 0, 0] * 1e-9
     jax.block_until_ready(out)
     dt = time.perf_counter() - t0
 

@@ -1,0 +1,251 @@
+// Native image pipeline for the MGNet-TPU data loader.
+//
+// Plays the role the reference delegates to PIL/torchvision inside torch
+// DataLoader worker processes (reference: mgnet/data/dataset_mapper.py,
+// DATALOADER.NUM_WORKERS=10): PNG/JPEG decode and geometric resampling are
+// the hot host-side ops feeding the TPU; here they are C++ with OpenMP-free
+// thread-safe entry points exposed through a C ABI (ctypes).
+//
+// Build: see native/CMakeLists.txt (links libpng + libjpeg + zlib).
+
+#include <cstdint>
+#include <cmath>
+#include <cstring>
+#include <csetjmp>
+#include <cstdio>
+#include <cstdlib>
+#include <algorithm>
+#include <vector>
+
+#include <png.h>
+#include <jpeglib.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// PNG decode (8/16-bit, gray/RGB/RGBA -> requested channels)
+// ---------------------------------------------------------------------------
+
+struct MemReader {
+  const uint8_t* data;
+  size_t size;
+  size_t pos;
+};
+
+static void png_mem_read(png_structp png, png_bytep out, png_size_t n) {
+  MemReader* r = static_cast<MemReader*>(png_get_io_ptr(png));
+  if (r->pos + n > r->size) {
+    png_error(png, "png: read past end");
+  }
+  std::memcpy(out, r->data + r->pos, n);
+  r->pos += n;
+}
+
+// Returns 0 on success. Fills h/w/channels/bit_depth.
+int mg_png_info(const uint8_t* bytes, size_t len, int* h, int* w,
+             int* channels, int* bit_depth) {
+  if (len < 8 || png_sig_cmp(bytes, 0, 8)) return -1;
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return -2;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return -2;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -3;
+  }
+  MemReader reader{bytes, len, 0};
+  png_set_read_fn(png, &reader, png_mem_read);
+  png_read_info(png, info);
+  *w = png_get_image_width(png, info);
+  *h = png_get_image_height(png, info);
+  *channels = png_get_channels(png, info);
+  *bit_depth = png_get_bit_depth(png, info);
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
+// Decode into caller buffer, converting to out_channels u8 (rgb) or
+// keeping 16-bit single channel when out_bit_depth == 16.
+int mg_png_decode(const uint8_t* bytes, size_t len, uint8_t* out,
+               int out_channels, int out_bit_depth) {
+  png_structp png =
+      png_create_read_struct(PNG_LIBPNG_VER_STRING, nullptr, nullptr, nullptr);
+  if (!png) return -2;
+  png_infop info = png_create_info_struct(png);
+  if (!info) {
+    png_destroy_read_struct(&png, nullptr, nullptr);
+    return -2;
+  }
+  if (setjmp(png_jmpbuf(png))) {
+    png_destroy_read_struct(&png, &info, nullptr);
+    return -3;
+  }
+  MemReader reader{bytes, len, 0};
+  png_set_read_fn(png, &reader, png_mem_read);
+  png_read_info(png, info);
+
+  int bit_depth = png_get_bit_depth(png, info);
+  int color_type = png_get_color_type(png, info);
+
+  if (color_type == PNG_COLOR_TYPE_PALETTE) png_set_palette_to_rgb(png);
+  if (color_type == PNG_COLOR_TYPE_GRAY && bit_depth < 8)
+    png_set_expand_gray_1_2_4_to_8(png);
+  if (png_get_valid(png, info, PNG_INFO_tRNS)) png_set_tRNS_to_alpha(png);
+
+  if (out_bit_depth == 8 && bit_depth == 16) png_set_strip_16(png);
+  if (out_bit_depth == 16 && bit_depth == 16) png_set_swap(png);  // LE host
+  if (out_channels >= 3 &&
+      (color_type == PNG_COLOR_TYPE_GRAY ||
+       color_type == PNG_COLOR_TYPE_GRAY_ALPHA))
+    png_set_gray_to_rgb(png);
+  if (out_channels == 3) png_set_strip_alpha(png);
+  if (out_channels == 1 &&
+      (color_type == PNG_COLOR_TYPE_RGB ||
+       color_type == PNG_COLOR_TYPE_RGB_ALPHA))
+    png_set_rgb_to_gray_fixed(png, 1, -1, -1);
+
+  png_read_update_info(png, info);
+  int h = png_get_image_height(png, info);
+  size_t rowbytes = png_get_rowbytes(png, info);
+
+  std::vector<png_bytep> rows(h);
+  for (int y = 0; y < h; ++y) rows[y] = out + y * rowbytes;
+  png_read_image(png, rows.data());
+  png_destroy_read_struct(&png, &info, nullptr);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG decode (baseline/progressive -> RGB u8)
+// ---------------------------------------------------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+static void jpeg_err_exit(j_common_ptr cinfo) {
+  JpegErr* e = reinterpret_cast<JpegErr*>(cinfo->err);
+  longjmp(e->jb, 1);
+}
+
+int mg_jpeg_info(const uint8_t* bytes, size_t len, int* h, int* w, int* c) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, bytes, len);
+  jpeg_read_header(&cinfo, TRUE);
+  *w = cinfo.image_width;
+  *h = cinfo.image_height;
+  *c = cinfo.num_components;
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+int mg_jpeg_decode(const uint8_t* bytes, size_t len, uint8_t* out) {
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    return -1;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, bytes, len);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  jpeg_start_decompress(&cinfo);
+  int stride = cinfo.output_width * cinfo.output_components;
+  while (cinfo.output_scanline < cinfo.output_height) {
+    uint8_t* row = out + cinfo.output_scanline * stride;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Resampling — half-pixel-center bilinear (cv2 INTER_LINEAR semantics)
+// and nearest (torch F.interpolate 'nearest': src = floor(dst*in/out)).
+// ---------------------------------------------------------------------------
+
+void resize_bilinear_u8(const uint8_t* src, int h, int w, int c,
+                        uint8_t* dst, int oh, int ow) {
+  const float sy = static_cast<float>(h) / oh;
+  const float sx = static_cast<float>(w) / ow;
+  std::vector<int> x0s(ow), x1s(ow);
+  std::vector<float> fxs(ow);
+  for (int x = 0; x < ow; ++x) {
+    float fx = (x + 0.5f) * sx - 0.5f;
+    int x0 = static_cast<int>(std::floor(fx));
+    float t = fx - x0;
+    x0s[x] = std::clamp(x0, 0, w - 1);
+    x1s[x] = std::clamp(x0 + 1, 0, w - 1);
+    fxs[x] = t;
+  }
+  for (int y = 0; y < oh; ++y) {
+    float fy = (y + 0.5f) * sy - 0.5f;
+    int y0 = static_cast<int>(std::floor(fy));
+    float ty = fy - y0;
+    int y0c = std::clamp(y0, 0, h - 1);
+    int y1c = std::clamp(y0 + 1, 0, h - 1);
+    const uint8_t* r0 = src + static_cast<size_t>(y0c) * w * c;
+    const uint8_t* r1 = src + static_cast<size_t>(y1c) * w * c;
+    uint8_t* orow = dst + static_cast<size_t>(y) * ow * c;
+    for (int x = 0; x < ow; ++x) {
+      float tx = fxs[x];
+      const uint8_t* p00 = r0 + x0s[x] * c;
+      const uint8_t* p01 = r0 + x1s[x] * c;
+      const uint8_t* p10 = r1 + x0s[x] * c;
+      const uint8_t* p11 = r1 + x1s[x] * c;
+      for (int k = 0; k < c; ++k) {
+        float v = (1 - ty) * ((1 - tx) * p00[k] + tx * p01[k]) +
+                  ty * ((1 - tx) * p10[k] + tx * p11[k]);
+        orow[x * c + k] = static_cast<uint8_t>(v + 0.5f);
+      }
+    }
+  }
+}
+
+void resize_nearest_u8(const uint8_t* src, int h, int w, int c,
+                       uint8_t* dst, int oh, int ow) {
+  std::vector<int> xs(ow);
+  for (int x = 0; x < ow; ++x)
+    xs[x] = std::min(static_cast<int>(static_cast<int64_t>(x) * w / ow), w - 1);
+  for (int y = 0; y < oh; ++y) {
+    int sy = std::min(static_cast<int>(static_cast<int64_t>(y) * h / oh), h - 1);
+    const uint8_t* srow = src + static_cast<size_t>(sy) * w * c;
+    uint8_t* orow = dst + static_cast<size_t>(y) * ow * c;
+    for (int x = 0; x < ow; ++x)
+      std::memcpy(orow + x * c, srow + xs[x] * c, c);
+  }
+}
+
+// Normalize u8 HWC -> f32 HWC: (x/255 - mean) / std, per channel.
+void normalize_u8_to_f32(const uint8_t* src, int n_pixels, int c,
+                         const float* mean, const float* stdv, float* dst) {
+  std::vector<float> scale(c), bias(c);
+  for (int k = 0; k < c; ++k) {
+    scale[k] = 1.0f / (255.0f * stdv[k]);
+    bias[k] = -mean[k] / stdv[k];
+  }
+  for (int i = 0; i < n_pixels; ++i) {
+    for (int k = 0; k < c; ++k) {
+      dst[i * c + k] = src[i * c + k] * scale[k] + bias[k];
+    }
+  }
+}
+
+}  // extern "C"

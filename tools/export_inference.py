@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Export the fused inference pipeline to a serialized AOT artifact.
+
+Parity with reference: tools/onnx_trt_export.py — but one artifact holds
+the whole pipeline (model + postprocessing + DGC), weights baked in.
+
+Usage:
+  python tools/export_inference.py --config-file configs/MGNet-Cityscapes-Fine.yaml \
+      --weights <ckpt> --output model.jaxir --height 1024 --width 2048
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from mgnet_tpu.config import load_config
+    from mgnet_tpu.data.catalog import Metadata
+    from mgnet_tpu.data.categories import (
+        CITYSCAPES_SCENE_SEG_CATEGORIES,
+        build_meta,
+    )
+    from mgnet_tpu.export import export_fused_inference, save_exported
+    from mgnet_tpu.inference.fused import (
+        build_fused_inference,
+        statics_from_meta,
+    )
+    from mgnet_tpu.models.mgnet import build_model
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config-file", required=True)
+    p.add_argument("--weights", default="")
+    p.add_argument("--output", required=True)
+    p.add_argument("--height", type=int, default=1024)
+    p.add_argument("--width", type=int, default=2048)
+    p.add_argument("opts", nargs=argparse.REMAINDER)
+    args = p.parse_args()
+
+    cfg = load_config(args.config_file, args.opts)
+    model = build_model(cfg)
+    if args.weights or cfg.MODEL.WEIGHTS:
+        from mgnet_tpu.utils.checkpoint import load_params
+
+        params, batch_stats = load_params(args.weights or cfg.MODEL.WEIGHTS)
+    else:
+        variables = model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)), train=False
+        )
+        params = {"model": variables["params"]}
+        batch_stats = variables.get("batch_stats", {})
+        print("WARNING: exporting with random weights (no checkpoint given)")
+
+    meta = Metadata(name="export").set(
+        **build_meta(CITYSCAPES_SCENE_SEG_CATEGORIES)
+    )
+    fused = build_fused_inference(
+        model, statics_from_meta(cfg, meta),
+        tuple(cfg.MODEL.PIXEL_MEAN), tuple(cfg.MODEL.PIXEL_STD),
+        with_panoptic=cfg.WITH_PANOPTIC, with_depth=cfg.WITH_DEPTH,
+    )
+    exported, blob = export_fused_inference(
+        fused, params, batch_stats,
+        input_shape=(1, args.height, args.width, 3),
+    )
+    save_exported(args.output, blob)
+    # also dump the StableHLO module for the C++ PJRT runtime
+    mlir_path = args.output + ".stablehlo"
+    with open(mlir_path, "wb") as f:
+        f.write(exported.mlir_module_serialized)
+    print(f"Wrote {args.output} ({len(blob)} bytes) and {mlir_path}")
+
+
+if __name__ == "__main__":
+    main()
