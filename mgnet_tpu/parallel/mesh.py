@@ -38,13 +38,13 @@ def create_mesh(data: int = -1, model: int = 1,
                 devices: Optional[list] = None) -> Mesh:
     """Create a (data, model) mesh. data=-1 uses all available devices."""
     devices = devices if devices is not None else jax.devices()
-    n = len(devices)
     if data == -1:
-        data = n // model
-    assert data * model == n, (
-        f"mesh {data}x{model} does not cover {n} devices"
+        data = len(devices) // model
+    need = data * model
+    assert need <= len(devices), (
+        f"mesh {data}x{model} needs {need} devices, have {len(devices)}"
     )
-    dev_array = np.asarray(devices).reshape(data, model)
+    dev_array = np.asarray(devices[:need]).reshape(data, model)
     return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
 
 

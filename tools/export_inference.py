@@ -69,11 +69,20 @@ def main():
         input_shape=(1, args.height, args.width, 3),
     )
     save_exported(args.output, blob)
-    # also dump the StableHLO module for the C++ PJRT runtime
+    # also dump the StableHLO module + compile options for the C++ PJRT
+    # runtime (native/src/pjrt_runner.cpp)
     mlir_path = args.output + ".stablehlo"
     with open(mlir_path, "wb") as f:
         f.write(exported.mlir_module_serialized)
-    print(f"Wrote {args.output} ({len(blob)} bytes) and {mlir_path}")
+    from jaxlib.xla_client import CompileOptions
+
+    co = CompileOptions()
+    co.num_replicas = 1
+    co.num_partitions = 1
+    with open(args.output + ".compile_options.pb", "wb") as f:
+        f.write(co.SerializeAsString())
+    print(f"Wrote {args.output} ({len(blob)} bytes), {mlir_path}, "
+          f"{args.output}.compile_options.pb")
 
 
 if __name__ == "__main__":
