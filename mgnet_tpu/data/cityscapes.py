@@ -119,7 +119,6 @@ def load_cityscapes_scene_seg(
         )
         with open(gt_json) as f:
             info = json.load(f)
-        img_by_id = {}
         for ann in info["annotations"]:
             label_file = os.path.join(gt_dir, ann["file_name"])
             # {city}_{seq}_{frame}_gtFine_panoptic.png -> image path
@@ -131,7 +130,7 @@ def load_cityscapes_scene_seg(
             )
             entries.append((image_file, label_file, ann["segments_info"]))
 
-    is_train = "train" in gt_dir
+    is_train = "train" in os.path.basename(gt_dir)
     ret = []
     for image_file, label_file, segments_info in entries:
         prev_f, next_f = _sequence_neighbors(image_file, image_seq_dir)

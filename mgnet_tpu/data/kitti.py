@@ -109,7 +109,8 @@ def load_kitti_eigen_scene_seg(
     with open(image_split_file) as f:
         files = [(line.split(" ")[0], "", []) for line in f.read().splitlines()]
 
-    is_train = "train" in gt_dir or "zhou" in gt_dir
+    is_train = ("train" in os.path.basename(gt_dir)
+                or "zhou" in os.path.basename(gt_dir))
     if not pseudo_label_generation and is_train:
         assert os.path.exists(gt_json), (
             f"Missing pseudo-label json {gt_json}; run "
@@ -134,7 +135,7 @@ def load_kitti_eigen_scene_seg(
         if is_train and not (os.path.exists(prev_f) and os.path.exists(next_f)):
             continue
         depth_file = _depth_file_for(image_file)
-        if "test" in gt_dir and not os.path.exists(depth_file):
+        if "test" in os.path.basename(gt_dir) and not os.path.exists(depth_file):
             continue
         # calibration lives four levels up (date folder)
         parent = os.path.abspath(os.path.join(image_file, "../../../.."))

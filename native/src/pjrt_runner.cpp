@@ -110,9 +110,40 @@ int main(int argc, char** argv) {
   init_args.struct_size = PJRT_Plugin_Initialize_Args_STRUCT_SIZE;
   CHECK_OK(api, api->PJRT_Plugin_Initialize(&init_args));
 
+  // Client create options: later argv entries of the form key=value or
+  // key=#int (e.g. topology=v5e:1x1x1 session_id=abc remote_compile=#1).
+  std::vector<PJRT_NamedValue> options;
+  std::vector<std::string> opt_storage;
+  opt_storage.reserve(static_cast<size_t>(argc) * 2 + 4);
+  for (int i = 8; i < argc; ++i) {
+    const char* eq = std::strchr(argv[i], '=');
+    if (!eq) continue;
+    opt_storage.emplace_back(argv[i], eq - argv[i]);     // key
+    const std::string& key = opt_storage.back();
+    PJRT_NamedValue nv;
+    std::memset(&nv, 0, sizeof(nv));
+    nv.struct_size = PJRT_NamedValue_STRUCT_SIZE;
+    nv.name = key.c_str();
+    nv.name_size = key.size();
+    if (eq[1] == '#') {
+      nv.type = PJRT_NamedValue_kInt64;
+      nv.int64_value = std::atoll(eq + 2);
+      nv.value_size = 1;
+    } else {
+      opt_storage.emplace_back(eq + 1);
+      const std::string& val = opt_storage.back();
+      nv.type = PJRT_NamedValue_kString;
+      nv.string_value = val.c_str();
+      nv.value_size = val.size();
+    }
+    options.push_back(nv);
+  }
+
   PJRT_Client_Create_Args cc;
   std::memset(&cc, 0, sizeof(cc));
   cc.struct_size = PJRT_Client_Create_Args_STRUCT_SIZE;
+  cc.create_options = options.data();
+  cc.num_options = options.size();
   CHECK_OK(api, api->PJRT_Client_Create(&cc));
   PJRT_Client* client = cc.client;
 

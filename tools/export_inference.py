@@ -44,10 +44,14 @@ def main():
 
     cfg = load_config(args.config_file, args.opts)
     model = build_model(cfg)
-    if args.weights or cfg.MODEL.WEIGHTS:
+    weights = args.weights or cfg.MODEL.WEIGHTS
+    if weights and not os.path.exists(weights):
+        print(f"WARNING: weights path {weights} not found; using random init")
+        weights = ""
+    if weights:
         from mgnet_tpu.utils.checkpoint import load_params
 
-        params, batch_stats = load_params(args.weights or cfg.MODEL.WEIGHTS)
+        params, batch_stats = load_params(weights)
     else:
         variables = model.init(
             jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)), train=False
