@@ -248,6 +248,24 @@ int main(int argc, char** argv) {
     arg_buffers.push_back(bh.buffer);
   }
 
+  // Host staging buffer for the per-frame sync readback (Execute is
+  // async; reading one output back forces completion — the analog of the
+  // reference's cudaStreamSynchronize, main.cpp:233).
+  std::vector<uint8_t> host_out;
+
+  auto sync_read_output = [&](PJRT_Buffer* buf) {
+    PJRT_Buffer_ToHostBuffer_Args th;
+    std::memset(&th, 0, sizeof(th));
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.src = buf;
+    th.dst = nullptr;
+    CHECK_OK(api, api->PJRT_Buffer_ToHostBuffer(&th));  // query size
+    if (host_out.size() < th.dst_size) host_out.resize(th.dst_size);
+    th.dst = host_out.data();
+    CHECK_OK(api, api->PJRT_Buffer_ToHostBuffer(&th));
+    await_event(api, th.event);
+  };
+
   auto run_once = [&]() {
     PJRT_ExecuteOptions opts;
     std::memset(&opts, 0, sizeof(opts));
@@ -270,6 +288,7 @@ int main(int argc, char** argv) {
     ex.device_complete_events = &done;
     CHECK_OK(api, api->PJRT_LoadedExecutable_Execute(&ex));
     await_event(api, done);
+    sync_read_output(outs[0]);
     for (PJRT_Buffer* b : outs) {
       PJRT_Buffer_Destroy_Args bd;
       std::memset(&bd, 0, sizeof(bd));
