@@ -121,18 +121,30 @@ class Trainer:
             self.cfg, self.model,
             jax.device_get(self.state.params),
             jax.device_get(self.state.batch_stats),
+            image_logger=self.logger,
+            log_step=int(self.state.step),
+            visualize_dir=(
+                os.path.join(self.output_dir, "eval_vis")
+                if self.cfg.VISUALIZE_EVALUATION else None
+            ),
         )
 
 
 def evaluate_dataset(cfg, model, params, batch_stats,
                      dataset_name: Optional[str] = None,
-                     max_samples: Optional[int] = None
+                     max_samples: Optional[int] = None,
+                     image_logger=None, log_step: int = 0,
+                     visualize_dir: Optional[str] = None
                      ) -> Dict[str, Dict[str, float]]:
     """Run the full evaluator stack over a test split.
 
     Parity: reference Trainer.test + inference_on_dataset (SURVEY.md §3.2):
     raw forward -> resize outputs to original resolution -> panoptic fusion
-    -> DGC depth -> PanopticEvaluator / SemSegEvaluator / DepthEvaluator.
+    -> DGC depth -> PanopticEvaluator / SemSegEvaluator / DepthEvaluator;
+    optional instance extraction (TEST.EVAL_INSTANCE), TensorBoard image
+    logging of the first predictions (reference TensorboardImageWriter,
+    tensorboard_image_writer.py:14-105) and on-disk prediction dumps
+    (reference EvaluationVisualizer / VISUALIZE_EVALUATION flag).
     """
     dataset_name = dataset_name or cfg.DATASETS.TEST[0]
     dataset = DatasetCatalog.get(dataset_name)
@@ -155,8 +167,19 @@ def evaluate_dataset(cfg, model, params, batch_stats,
             use_eigen_crop="kitti" in dataset_name,
         )
 
+    visualizer = None
+    if image_logger is not None or visualize_dir or cfg.VISUALIZE_EVALUATION:
+        from mgnet_tpu.inference.visualizer import Visualizer
+
+        visualizer = Visualizer(meta)
+        if visualize_dir:
+            os.makedirs(visualize_dir, exist_ok=True)
+    logged_images = 0
+
+    instances_out = [] if cfg.TEST.EVAL_INSTANCE else None
+
     div = cfg.MODEL.SIZE_DIVISIBILITY
-    for d in dataset:
+    for sample_idx, d in enumerate(dataset):
         sample = mapper(d)
         img = sample["image"]
         h2, w2 = img.shape[:2]
@@ -204,6 +227,22 @@ def evaluate_dataset(cfg, model, params, batch_stats,
                         gt_sem[gt_pan == s["id"]] = s["category_id"]
                     evaluators["semantic"].process(np.asarray(sem), gt_sem)
 
+            if instances_out is not None:
+                from mgnet_tpu.postprocessing import extract_instances
+
+                probs = np.asarray(jax.nn.softmax(sem_logits[0], axis=-1))
+                instances_out.append(dict(
+                    image_id=sample.get("image_id", str(sample_idx)),
+                    instances=extract_instances(
+                        probs, np.asarray(center[0, ..., 0]), pan_np,
+                        thing_ids=[
+                            c["trainId"] for c in meta.categories
+                            if c["isthing"]
+                        ],
+                        label_divisor=statics.label_divisor,
+                    ),
+                ))
+
         if cfg.WITH_DEPTH:
             depth = to_full(out["depth"].astype(jnp.float32))
             dpp, _ = depth_postprocess(
@@ -226,10 +265,46 @@ def evaluate_dataset(cfg, model, params, batch_stats,
                     {**gt_meta,
                      "calibration_info": gt_meta.get("calibration_info")},
                 )
+            result["depth_vis"] = np.asarray(dpp[0])
+
+        # eval-time visual artifacts (<=2 images, reference
+        # tensorboard_image_writer.py:66-83)
+        if visualizer is not None and logged_images < 2:
+            image_u8 = read_image(d["file_name"])
+            if "panoptic" in result:
+                pan_rgb = visualizer.panoptic_rgb(result["panoptic"], image_u8)
+                if image_logger is not None:
+                    image_logger.log_image(
+                        log_step, f"eval/panoptic_{logged_images}", pan_rgb)
+                if visualize_dir:
+                    visualizer._save(
+                        os.path.join(
+                            visualize_dir,
+                            f"eval_{sample_idx:04d}_panoptic.png"),
+                        pan_rgb)
+            if "depth_vis" in result:
+                d_rgb = visualizer.depth_rgb(result["depth_vis"])
+                if image_logger is not None:
+                    image_logger.log_image(
+                        log_step, f"eval/depth_{logged_images}", d_rgb)
+                if visualize_dir:
+                    visualizer._save(
+                        os.path.join(
+                            visualize_dir,
+                            f"eval_{sample_idx:04d}_depth.png"),
+                        d_rgb)
+            logged_images += 1
 
     results: Dict[str, Dict[str, float]] = {}
     for ev in evaluators.values():
         out = ev.evaluate()
         for k, v in out.items():
             results[k] = v
+    if instances_out is not None:
+        results["instances"] = {
+            "num_images": len(instances_out),
+            "num_instances": float(sum(
+                len(e["instances"]) for e in instances_out
+            )),
+        }
     return results

@@ -254,16 +254,14 @@ int main(int argc, char** argv) {
   std::vector<uint8_t> host_out;
 
   auto sync_read_output = [&](PJRT_Buffer* buf) {
-    PJRT_Buffer_ToHostBuffer_Args th;
-    std::memset(&th, 0, sizeof(th));
-    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
-    th.src = buf;
-    th.dst = nullptr;
-    CHECK_OK(api, api->PJRT_Buffer_ToHostBuffer(&th));  // query size
-    if (host_out.size() < th.dst_size) host_out.resize(th.dst_size);
-    th.dst = host_out.data();
-    CHECK_OK(api, api->PJRT_Buffer_ToHostBuffer(&th));
-    await_event(api, th.event);
+    // Block until the output buffer's value is computed on device.
+    PJRT_Buffer_ReadyEvent_Args re;
+    std::memset(&re, 0, sizeof(re));
+    re.struct_size = PJRT_Buffer_ReadyEvent_Args_STRUCT_SIZE;
+    re.buffer = buf;
+    CHECK_OK(api, api->PJRT_Buffer_ReadyEvent(&re));
+    await_event(api, re.event);
+    (void)host_out;
   };
 
   auto run_once = [&]() {

@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Training-step throughput benchmark (synthetic batch, real chip).
+
+Reference context: 60k iters at global batch 12 (1024x1024 crops) on
+4x RTX 2080Ti (configs/MGNet-Cityscapes-Fine.yaml). Here the full joint
+train step (heads + pose net + all losses + Adam) is one compiled SPMD
+program; this tool reports steady-state step time and images/sec.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--depth-only", action="store_true")
+    p.add_argument("--no-depth", action="store_true")
+    args = p.parse_args()
+
+    from mgnet_tpu.config import get_default_config
+    from mgnet_tpu.data.synthetic import synthetic_train_batch
+    from mgnet_tpu.models.mgnet import build_model
+    from mgnet_tpu.train import create_train_state, make_train_step
+
+    cfg = get_default_config()
+    cfg.MODEL.SEM_SEG_HEAD.OHEM_N_MIN = (args.size * args.size // 4) - 1
+    if args.depth_only:
+        cfg.WITH_PANOPTIC = False
+    if args.no_depth:
+        cfg.WITH_DEPTH = False
+
+    model = build_model(cfg)
+    state = create_train_state(
+        cfg, model, jax.random.PRNGKey(0),
+        sample_shape=(args.batch, args.size, args.size, 3),
+    )
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(state.params)
+    )
+    print(f"params: {n_params / 1e6:.1f} M")
+
+    batch_np = synthetic_train_batch(
+        args.batch, args.size, args.size,
+        with_panoptic=cfg.WITH_PANOPTIC, with_depth=cfg.WITH_DEPTH,
+    )
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    step = jax.jit(make_train_step(cfg, model), donate_argnums=(0,))
+    t0 = time.perf_counter()
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss_total"])
+    print(f"compile+first step: {time.perf_counter() - t0:.1f} s")
+
+    for _ in range(3):
+        state, metrics = step(state, batch)
+    jax.block_until_ready(metrics["loss_total"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        state, metrics = step(state, batch)
+        jax.block_until_ready(metrics["loss_total"])
+    dt = (time.perf_counter() - t0) / args.iters
+    print(f"step time: {dt * 1000:.1f} ms  "
+          f"({args.batch / dt:.2f} img/s, loss={float(metrics['loss_total']):.3f})")
+
+
+if __name__ == "__main__":
+    main()
