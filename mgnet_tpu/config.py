@@ -203,6 +203,9 @@ def get_default_config() -> ConfigNode:
     c.MODEL.SIZE_DIVISIBILITY = 32
     # TPU dtype policy: params fp32, compute bf16 (replaces CUDA AMP).
     c.MODEL.COMPUTE_DTYPE = "bfloat16"
+    # Rematerialize backbone blocks (activation-memory/compute trade;
+    # XLA-native replacement for the InPlaceABN in-place trick).
+    c.MODEL.REMAT = False
 
     c.MODEL.BACKBONE = ConfigNode()
     c.MODEL.BACKBONE.NAME = "resnet_abn"

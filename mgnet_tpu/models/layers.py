@@ -207,13 +207,14 @@ class PoseCNN(nn.Module):
 
     depth: int = 18
     num_context_images: int = 2
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         feats = ResNetABN(
-            depth=self.depth, out_features=("res5",),
+            depth=self.depth, out_features=("res5",), remat=self.remat,
             axis_name=self.axis_name, dtype=self.dtype, name="encoder",
         )(images, train=train)
         y = feats["res5"]

@@ -182,12 +182,14 @@ class MGNet(nn.Module):
     ffm_channels: int = 256
     arm_channels: Sequence[int] = (128, 128)
     refine_channels: Sequence[int] = (128, 128)
+    remat: bool = False
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     def setup(self):
         self.backbone = ResNetABN(
-            depth=self.depth, axis_name=self.axis_name, dtype=self.dtype,
+            depth=self.depth, remat=self.remat,
+            axis_name=self.axis_name, dtype=self.dtype,
         )
         self.global_context = GlobalContextModule(
             self.gcm_channels, axis_name=self.axis_name, dtype=self.dtype,
@@ -207,7 +209,8 @@ class MGNet(nn.Module):
         if self.with_depth:
             self.depth_head = DepthHead(msc_loss=self.msc_depth_loss, **common)
             self.pose_net = PoseCNN(
-                depth=self.depth, axis_name=self.axis_name, dtype=self.dtype,
+                depth=self.depth, remat=self.remat,
+                axis_name=self.axis_name, dtype=self.dtype,
             )
 
     def features(self, images: jnp.ndarray, train: bool = False):
@@ -270,5 +273,6 @@ def build_model(cfg) -> MGNet:
         ffm_channels=cfg.MODEL.SEM_SEG_HEAD.FFM_CHANNELS,
         arm_channels=tuple(cfg.MODEL.SEM_SEG_HEAD.ARM_CHANNELS),
         refine_channels=tuple(cfg.MODEL.SEM_SEG_HEAD.REFINE_CHANNELS),
+        remat=cfg.MODEL.REMAT,
         dtype=dtype,
     )

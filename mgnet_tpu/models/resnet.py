@@ -94,12 +94,20 @@ class ResNetABN(nn.Module):
     res2_out_channels: int = 64
     out_features: Sequence[str] = ("res3", "res4", "res5")
     freeze_at: int = 0  # weight freezing is applied by the solver mask
+    remat: bool = False  # rematerialize blocks (activation memory savings)
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
         blocks_per_stage = RESNET_STAGE_BLOCKS[self.depth]
+        # jax.checkpoint per residual block: trades recompute for activation
+        # HBM — the XLA-native replacement for InPlaceABN's in-place memory
+        # trick (SURVEY.md §2.9).
+        block_cls = (
+            nn.remat(BasicBlock, static_argnums=(2,)) if self.remat
+            else BasicBlock
+        )
         features: Dict[str, jnp.ndarray] = {}
         y = BasicStem(
             self.stem_out_channels, axis_name=self.axis_name, dtype=self.dtype,
@@ -112,13 +120,13 @@ class ResNetABN(nn.Module):
             stage_name = f"res{idx + 2}"
             first_stride = 1 if idx == 0 else 2
             for b in range(num_blocks):
-                y = BasicBlock(
+                y = block_cls(
                     out_channels,
                     stride=first_stride if b == 0 else 1,
                     axis_name=self.axis_name,
                     dtype=self.dtype,
                     name=f"{stage_name}_block{b}",
-                )(y, train=train)
+                )(y, train)
             features[stage_name] = y
             out_channels *= 2
 

@@ -25,6 +25,7 @@ def main():
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--depth-only", action="store_true")
     p.add_argument("--no-depth", action="store_true")
+    p.add_argument("--remat", action="store_true")
     args = p.parse_args()
 
     from mgnet_tpu.config import get_default_config
@@ -38,6 +39,8 @@ def main():
         cfg.WITH_PANOPTIC = False
     if args.no_depth:
         cfg.WITH_DEPTH = False
+    if args.remat:
+        cfg.MODEL.REMAT = True
 
     model = build_model(cfg)
     state = create_train_state(
