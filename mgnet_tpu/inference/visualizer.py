@@ -53,6 +53,11 @@ class Visualizer:
                      image: Optional[np.ndarray] = None,
                      alpha: float = 0.5) -> np.ndarray:
         h, w = panoptic.shape
+        if image is not None and image.shape[:2] != (h, w):
+            import cv2
+
+            image = cv2.resize(image, (w, h),
+                               interpolation=cv2.INTER_LINEAR)
         out = np.zeros((h, w, 3), np.float32)
         rng = np.random.RandomState(42)
         for pid in np.unique(panoptic):

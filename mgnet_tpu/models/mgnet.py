@@ -203,11 +203,21 @@ class MGNet(nn.Module):
             axis_name=self.axis_name,
             dtype=self.dtype,
         )
+        # nn.remat on the heads keeps the full-resolution upsampled
+        # logits out of the backward residual set (they are recomputed
+        # from the stride-8 maps) — the dominant activation saving at
+        # 1024x1024 crops.
+        sem_cls = (nn.remat(SemSegHead, static_argnums=(2, 3))
+                   if self.remat else SemSegHead)
+        ins_cls = (nn.remat(InsEmbedHead, static_argnums=(2, 3))
+                   if self.remat else InsEmbedHead)
+        depth_cls = (nn.remat(DepthHead, static_argnums=(2, 3))
+                     if self.remat else DepthHead)
         if self.with_panoptic:
-            self.sem_seg_head = SemSegHead(num_classes=self.num_classes, **common)
-            self.ins_embed_head = InsEmbedHead(**common)
+            self.sem_seg_head = sem_cls(num_classes=self.num_classes, **common)
+            self.ins_embed_head = ins_cls(**common)
         if self.with_depth:
-            self.depth_head = DepthHead(msc_loss=self.msc_depth_loss, **common)
+            self.depth_head = depth_cls(msc_loss=self.msc_depth_loss, **common)
             self.pose_net = PoseCNN(
                 depth=self.depth, remat=self.remat,
                 axis_name=self.axis_name, dtype=self.dtype,
@@ -225,12 +235,12 @@ class MGNet(nn.Module):
         feats = self.features(images, train=train)
         out: Dict[str, Any] = {}
         if self.with_panoptic:
-            out["sem_seg"] = self.sem_seg_head(feats, train=train, upsample=upsample)
+            out["sem_seg"] = self.sem_seg_head(feats, train, upsample)
             out["center"], out["offset"] = self.ins_embed_head(
-                feats, train=train, upsample=upsample
+                feats, train, upsample
             )
         if self.with_depth:
-            inv_depths = self.depth_head(feats, train=train, upsample=upsample)
+            inv_depths = self.depth_head(feats, train, upsample)
             if train:
                 out["inv_depths"] = inv_depths
             else:

@@ -108,7 +108,8 @@ def _kernel(x_hbm, y_hbm, out_ref, *, block_h: int, n_channels: int,
 
 
 def _residual_batched(x: jnp.ndarray, y: jnp.ndarray, ssim_w: float,
-                      c1: float, c2: float) -> jnp.ndarray:
+                      c1: float, c2: float,
+                      interpret: bool = False) -> jnp.ndarray:
     """x/y: [B, H, W, C] -> [B, H, W] residual."""
     bsz, h, w, c = x.shape
     pad = ((0, 0), (1, 1), (1, 1), (0, 0))
@@ -142,6 +143,10 @@ def _residual_batched(x: jnp.ndarray, y: jnp.ndarray, ssim_w: float,
         out_shape=jax.ShapeDtypeStruct(
             (bsz, n_blocks * block_h, w), jnp.float32
         ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
     )(xp, yp)
     return out[:, :h]
 
@@ -149,7 +154,8 @@ def _residual_batched(x: jnp.ndarray, y: jnp.ndarray, ssim_w: float,
 def fused_photometric_residual(warped: jnp.ndarray, image: jnp.ndarray,
                                ssim_weight: float = 0.85,
                                c1: float = 1e-4, c2: float = 9e-4,
-                               use_pallas: bool | None = None) -> jnp.ndarray:
+                               use_pallas: bool | None = None,
+                               interpret: bool = False) -> jnp.ndarray:
     """Channel-mean 0.85*SSIM + 0.15*L1 residual, NHWC -> [B, H, W, 1].
 
     Matches losses/photometric._photometric + ssim numerics exactly.
@@ -163,5 +169,5 @@ def fused_photometric_residual(warped: jnp.ndarray, image: jnp.ndarray,
 
     x = warped.astype(jnp.float32)
     y = image.astype(jnp.float32)
-    out = _residual_batched(x, y, ssim_weight, c1, c2)
+    out = _residual_batched(x, y, ssim_weight, c1, c2, interpret=interpret)
     return out[..., None]

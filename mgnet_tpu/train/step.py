@@ -88,19 +88,30 @@ def compute_losses(cfg, outputs: Dict[str, Any],
 
     if cfg.WITH_DEPTH:
         dh = cfg.MODEL.DEPTH_HEAD
-        photo = multi_view_photometric_loss(
+
+        def photo_fn(inv_depths, poses, K, image, prev, nxt, mask):
+            return multi_view_photometric_loss(
+                inv_depths, poses, K, image, [prev, nxt], mask,
+                ssim_loss_weight=dh.SSIM_LOSS_WEIGHT,
+                photometric_loss_weight=dh.PHOTOMETRIC_LOSS_WEIGHT,
+                smoothing_loss_weight=dh.SMOOTHING_LOSS_WEIGHT,
+                automask_loss=dh.AUTOMASK_LOSS,
+                photometric_reduce_op=dh.PHOTOMETRIC_REDUCE_OP,
+                padding_mode=dh.PADDING_MODE,
+            )
+
+        if cfg.MODEL.REMAT:
+            # don't keep warped frames / SSIM windows for backward —
+            # recompute them from the (much smaller) loss inputs
+            photo_fn = jax.checkpoint(photo_fn)
+        photo = photo_fn(
             outputs["inv_depths"],
             outputs["poses"],
             batch["camera_matrix"],
             batch["image_orig"],
-            [batch["image_prev_orig"], batch["image_next_orig"]],
+            batch["image_prev_orig"],
+            batch["image_next_orig"],
             batch.get("reprojection_mask"),
-            ssim_loss_weight=dh.SSIM_LOSS_WEIGHT,
-            photometric_loss_weight=dh.PHOTOMETRIC_LOSS_WEIGHT,
-            smoothing_loss_weight=dh.SMOOTHING_LOSS_WEIGHT,
-            automask_loss=dh.AUTOMASK_LOSS,
-            photometric_reduce_op=dh.PHOTOMETRIC_REDUCE_OP,
-            padding_mode=dh.PADDING_MODE,
         )
         losses.update(photo)
     return losses

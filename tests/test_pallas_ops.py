@@ -1,0 +1,27 @@
+"""Pallas kernel tests (interpret mode on the CPU mesh)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mgnet_tpu.losses.photometric import _photometric
+from mgnet_tpu.ops.pallas.ssim import fused_photometric_residual
+
+RNG = np.random.RandomState(0)
+
+
+@pytest.mark.parametrize("shape", [(1, 64, 128, 3), (2, 130, 200, 3)])
+def test_fused_photometric_matches_reference(shape):
+    x = jnp.asarray(RNG.rand(*shape), jnp.float32)
+    y = jnp.asarray(RNG.rand(*shape), jnp.float32)
+    ref = _photometric(x, y, 0.85)
+    out = fused_photometric_residual(x, y, use_pallas=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fallback_path():
+    x = jnp.asarray(RNG.rand(1, 32, 32, 3), jnp.float32)
+    y = jnp.asarray(RNG.rand(1, 32, 32, 3), jnp.float32)
+    out = fused_photometric_residual(x, y, use_pallas=False)
+    ref = _photometric(x, y, 0.85)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)

@@ -20,8 +20,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--config-file", required=True)
-    p.add_argument("--input", nargs="+", required=True,
+    p.add_argument("--input", nargs="+", default=[],
                    help="image files")
+    p.add_argument("--video-input", default="",
+                   help="video file (frame-by-frame inference, parity: "
+                        "reference demo.py video path)")
     p.add_argument("--output", required=True, help="output directory")
     p.add_argument("--weights", default="")
     p.add_argument("--calib", default="",
@@ -83,6 +86,37 @@ def main():
             np.save(os.path.join(args.output, f"{stem}_points.npy"),
                     out["points"])
         print(f"{path} -> {args.output}/{stem}_*.png")
+
+    if args.video_input:
+        import cv2
+
+        cap = cv2.VideoCapture(args.video_input)
+        fps = cap.get(cv2.CAP_PROP_FPS) or 17.0
+        writer = None
+        idx = 0
+        while True:
+            ok, frame_bgr = cap.read()
+            if not ok:
+                break
+            frame = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+            out = predictor(frame)
+            pan_rgb = vis.panoptic_rgb(out["panoptic"], frame)
+            depth_rgb = vis.depth_rgb(out["depth"]) if "depth" in out \
+                else np.zeros_like(pan_rgb)
+            combined = np.concatenate([pan_rgb, depth_rgb], axis=0)
+            if writer is None:
+                writer = cv2.VideoWriter(
+                    os.path.join(args.output, "demo_output.mp4"),
+                    cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                    (combined.shape[1], combined.shape[0]),
+                )
+            writer.write(cv2.cvtColor(combined, cv2.COLOR_RGB2BGR))
+            idx += 1
+        cap.release()
+        if writer is not None:
+            writer.release()
+        print(f"{args.video_input}: {idx} frames -> "
+              f"{args.output}/demo_output.mp4")
 
 
 if __name__ == "__main__":
