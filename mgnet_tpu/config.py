@@ -258,6 +258,8 @@ def get_default_config() -> ConfigNode:
     c.MODEL.DEPTH_HEAD.AUTOMASK_LOSS = True
     c.MODEL.DEPTH_HEAD.PHOTOMETRIC_REDUCE_OP = "min"
     c.MODEL.DEPTH_HEAD.PADDING_MODE = "zeros"
+    # Use the fused Pallas SSIM+L1 kernel in the photometric loss.
+    c.MODEL.DEPTH_HEAD.USE_PALLAS_SSIM = False
 
     c.MODEL.POST_PROCESSING = ConfigNode()
     c.MODEL.POST_PROCESSING.STUFF_AREA = 2048

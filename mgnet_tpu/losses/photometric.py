@@ -69,11 +69,17 @@ def ssim(x: jnp.ndarray, y: jnp.ndarray, c1: float = 1e-4,
 
 
 def _photometric(warped: jnp.ndarray, image: jnp.ndarray,
-                 ssim_weight: float) -> jnp.ndarray:
+                 ssim_weight: float, use_pallas: bool = False) -> jnp.ndarray:
     """Channel-mean photometric residual [B,H,W,1].
 
     Parity: reference loss.py:169-198 (calc_photometric_loss).
+    With ``use_pallas`` the fused VMEM-resident kernel computes the
+    SSIM+L1 blend in one pass (ops/pallas/ssim.py).
     """
+    if use_pallas and ssim_weight > 0.0:
+        from mgnet_tpu.ops.pallas.ssim import fused_photometric_residual
+
+        return fused_photometric_residual(warped, image, ssim_weight)
     l1 = jnp.mean(jnp.abs(warped - image), axis=-1, keepdims=True)
     if ssim_weight > 0.0:
         s = jnp.mean(ssim(warped, image), axis=-1, keepdims=True)
@@ -95,6 +101,7 @@ def multi_view_photometric_loss(
     automask_loss: bool = True,
     photometric_reduce_op: str = "min",
     padding_mode: str = "zeros",
+    use_pallas_ssim: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Compute photometric + smoothness losses.
 
@@ -137,14 +144,17 @@ def multi_view_photometric_loss(
     for j, ref_image in enumerate(context_images):
         ref_cam = Camera(K=camera_matrix, Tcw=Pose.from_vec(poses[:, j]))
         unwarped = (
-            _photometric(ref_image, image, ssim_loss_weight)
+            _photometric(ref_image, image, ssim_loss_weight,
+                         use_pallas_ssim)
             if automask_loss else None
         )
         for i in range(n):
             warped = view_synthesis(
                 ref_image, depths[i], ref_cam, cam, padding_mode=padding_mode
             )
-            candidates[i].append(_photometric(warped, image, ssim_loss_weight))
+            candidates[i].append(
+                _photometric(warped, image, ssim_loss_weight,
+                             use_pallas_ssim))
             if automask_loss:
                 candidates[i].append(unwarped)
 

@@ -151,6 +151,32 @@ def _residual_batched(x: jnp.ndarray, y: jnp.ndarray, ssim_w: float,
     return out[:, :h]
 
 
+def _reference_residual(x, y, ssim_weight):
+    from mgnet_tpu.losses.photometric import _photometric
+
+    return _photometric(x, y, ssim_weight)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def _residual_with_vjp(x, y, ssim_w, c1, c2, interpret):
+    return _residual_batched(x, y, ssim_w, c1, c2, interpret)[..., None]
+
+
+def _residual_fwd(x, y, ssim_w, c1, c2, interpret):
+    return _residual_with_vjp(x, y, ssim_w, c1, c2, interpret), (x, y)
+
+
+def _residual_bwd(ssim_w, c1, c2, interpret, res, g):
+    # Backward via the XLA reference formulation (identical numerics);
+    # the Pallas forward saves the HBM traffic on the hot fwd path.
+    x, y = res
+    _, vjp = jax.vjp(lambda a, b: _reference_residual(a, b, ssim_w), x, y)
+    return vjp(g)
+
+
+_residual_with_vjp.defvjp(_residual_fwd, _residual_bwd)
+
+
 def fused_photometric_residual(warped: jnp.ndarray, image: jnp.ndarray,
                                ssim_weight: float = 0.85,
                                c1: float = 1e-4, c2: float = 9e-4,
@@ -158,16 +184,14 @@ def fused_photometric_residual(warped: jnp.ndarray, image: jnp.ndarray,
                                interpret: bool = False) -> jnp.ndarray:
     """Channel-mean 0.85*SSIM + 0.15*L1 residual, NHWC -> [B, H, W, 1].
 
-    Matches losses/photometric._photometric + ssim numerics exactly.
+    Matches losses/photometric._photometric + ssim numerics exactly;
+    differentiable (custom VJP: fused forward, XLA-reference backward).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:
-        from mgnet_tpu.losses.photometric import _photometric
-
-        return _photometric(warped, image, ssim_weight)
+        return _reference_residual(warped, image, ssim_weight)
 
     x = warped.astype(jnp.float32)
     y = image.astype(jnp.float32)
-    out = _residual_batched(x, y, ssim_weight, c1, c2, interpret=interpret)
-    return out[..., None]
+    return _residual_with_vjp(x, y, ssim_weight, c1, c2, interpret)

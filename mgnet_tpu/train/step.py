@@ -98,6 +98,7 @@ def compute_losses(cfg, outputs: Dict[str, Any],
                 automask_loss=dh.AUTOMASK_LOSS,
                 photometric_reduce_op=dh.PHOTOMETRIC_REDUCE_OP,
                 padding_mode=dh.PADDING_MODE,
+                use_pallas_ssim=dh.USE_PALLAS_SSIM,
             )
 
         if cfg.MODEL.REMAT:

@@ -25,3 +25,22 @@ def test_fallback_path():
     out = fused_photometric_residual(x, y, use_pallas=False)
     ref = _photometric(x, y, 0.85)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+
+def test_fused_photometric_gradient():
+    """Custom VJP matches the XLA reference gradient."""
+    import jax
+
+    x = jnp.asarray(RNG.rand(1, 32, 48, 3), jnp.float32)
+    y = jnp.asarray(RNG.rand(1, 32, 48, 3), jnp.float32)
+
+    g_pallas = jax.grad(
+        lambda a: jnp.sum(fused_photometric_residual(
+            a, y, use_pallas=True, interpret=True))
+    )(x)
+    g_ref = jax.grad(
+        lambda a: jnp.sum(_photometric(a, y, 0.85))
+    )(x)
+    np.testing.assert_allclose(
+        np.asarray(g_pallas), np.asarray(g_ref), atol=1e-5
+    )
