@@ -177,6 +177,13 @@ def evaluate_dataset(cfg, model, params, batch_stats,
     logged_images = 0
 
     instances_out = [] if cfg.TEST.EVAL_INSTANCE else None
+    if cfg.TEST.EVAL_INSTANCE:
+        from mgnet_tpu.evaluation.instance_ap import InstanceAPEvaluator
+
+        evaluators["instance_ap"] = InstanceAPEvaluator(meta)
+    thing_train_ids = set(
+        meta.thing_dataset_id_to_contiguous_id.values()
+    )
 
     div = cfg.MODEL.SIZE_DIVISIBILITY
     for sample_idx, d in enumerate(dataset):
@@ -231,17 +238,27 @@ def evaluate_dataset(cfg, model, params, batch_stats,
                 from mgnet_tpu.postprocessing import extract_instances
 
                 probs = np.asarray(jax.nn.softmax(sem_logits[0], axis=-1))
+                pred_inst = extract_instances(
+                    probs, np.asarray(center[0, ..., 0]), pan_np,
+                    thing_ids=sorted(thing_train_ids),
+                    label_divisor=statics.label_divisor,
+                )
                 instances_out.append(dict(
                     image_id=sample.get("image_id", str(sample_idx)),
-                    instances=extract_instances(
-                        probs, np.asarray(center[0, ..., 0]), pan_np,
-                        thing_ids=[
-                            c["trainId"] for c in meta.categories
-                            if c["isthing"]
-                        ],
-                        label_divisor=statics.label_divisor,
-                    ),
+                    instances=pred_inst,
                 ))
+                gt_meta2 = sample.get("meta", {})
+                if gt_meta2.get("pan_seg_file_name"):
+                    gt_pan2 = rgb2id(
+                        read_image(gt_meta2["pan_seg_file_name"]))
+                    gt_inst = [
+                        dict(category_id=s["category_id"],
+                             mask=gt_pan2 == s["id"])
+                        for s in gt_meta2.get("segments_info", [])
+                        if s["category_id"] in thing_train_ids
+                        and not s.get("iscrowd", 0)
+                    ]
+                    evaluators["instance_ap"].process(pred_inst, gt_inst)
 
         if cfg.WITH_DEPTH:
             depth = to_full(out["depth"].astype(jnp.float32))
