@@ -106,6 +106,43 @@ def weight_decay_mask_trees(params: Any) -> Dict[str, Any]:
     }
 
 
+def warmup_cosine_schedule(base_lr: float, max_iter: int,
+                           warmup_factor: float = 0.1,
+                           warmup_iters: int = 1000) -> Callable:
+    """WarmupCosineLR (detectron2's other builtin scheduler)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        alpha = jnp.clip(step / max(warmup_iters, 1), 0.0, 1.0)
+        warmup = warmup_factor * (1.0 - alpha) + alpha
+        cos = 0.5 * (1.0 + jnp.cos(jnp.pi * step / max_iter))
+        return base_lr * warmup * cos
+
+    return schedule
+
+
+def freeze_mask_tree(params: Any, freeze_at: int) -> Any:
+    """Per-leaf 0/1 multipliers freezing backbone stages.
+
+    Parity: reference MODEL.BACKBONE.FREEZE_AT (res_net.py freeze_at —
+    stage k and everything before it stops training when freeze_at >= k;
+    freeze_at=1 freezes the stem, 2 also res2, etc.).
+    """
+
+    def keep(path, leaf):
+        p = _path_str(path)
+        if "backbone" not in p:
+            return 1.0
+        if "stem" in p and freeze_at >= 1:
+            return 0.0
+        for stage in range(2, 6):
+            if f"res{stage}_" in p and freeze_at >= stage:
+                return 0.0
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
 def _scale_by_tree(mult_tree: Any) -> optax.GradientTransformation:
     """Multiply each update leaf by its multiplier (per-group LR)."""
 
@@ -130,10 +167,18 @@ def build_optimizer(cfg, params) -> Tuple[optax.GradientTransformation, Callable
     LR multipliers -> negative schedule scale.
     """
     s = cfg.SOLVER
-    schedule = warmup_poly_schedule(
-        s.BASE_LR, s.MAX_ITER, s.POLY_LR_POWER, s.WARMUP_FACTOR,
-        s.WARMUP_ITERS, s.POLY_LR_CONSTANT_ENDING,
-    )
+    name = s.LR_SCHEDULER_NAME
+    if name == "WarmupPolyLR":
+        schedule = warmup_poly_schedule(
+            s.BASE_LR, s.MAX_ITER, s.POLY_LR_POWER, s.WARMUP_FACTOR,
+            s.WARMUP_ITERS, s.POLY_LR_CONSTANT_ENDING,
+        )
+    elif name == "WarmupCosineLR":
+        schedule = warmup_cosine_schedule(
+            s.BASE_LR, s.MAX_ITER, s.WARMUP_FACTOR, s.WARMUP_ITERS,
+        )
+    else:
+        raise ValueError(f"Unknown LR scheduler: {name}")
 
     chain = []
     masks = weight_decay_mask_trees(params)
@@ -161,6 +206,9 @@ def build_optimizer(cfg, params) -> Tuple[optax.GradientTransformation, Callable
         raise ValueError(f"Unknown optimizer: {opt}")
 
     chain.append(_scale_by_tree(lr_multiplier_tree(params, s.HEAD_LR_FACTOR)))
+    freeze_at = cfg.MODEL.BACKBONE.FREEZE_AT
+    if freeze_at and freeze_at > 0:
+        chain.append(_scale_by_tree(freeze_mask_tree(params, freeze_at)))
     chain.append(optax.scale_by_schedule(lambda t: -schedule(t)))
 
     return optax.chain(*chain), schedule

@@ -154,7 +154,31 @@ def evaluate_dataset(cfg, model, params, batch_stats,
     mapper = TestDatasetMapper(cfg, dataset_name=dataset_name)
     statics = statics_from_meta(cfg, meta)
 
-    eval_step = jax.jit(make_eval_step(cfg, model), static_argnums=())
+    if cfg.TEST.MSC_FLIP_EVAL:
+        # multi-scale + flip TTA (reference forward_multi_scale_flip path,
+        # enabled by the PseudoLabelGeneration configs)
+        from mgnet_tpu.inference.tta import multi_scale_flip_inference
+        from mgnet_tpu.train.step import normalize_images
+
+        pm = tuple(cfg.MODEL.PIXEL_MEAN)
+        ps = tuple(cfg.MODEL.PIXEL_STD)
+
+        def tta_step(params, batch_stats, images):
+            variables = {"params": params["model"],
+                         "batch_stats": batch_stats}
+            x = normalize_images(images, pm, ps)
+            out = multi_scale_flip_inference(
+                model, variables, x,
+                with_panoptic=cfg.WITH_PANOPTIC,
+                with_depth=cfg.WITH_DEPTH,
+            )
+            # sem_seg here is averaged *probabilities*; downstream argmax
+            # is unchanged, log-space consumers use it as scores
+            return out
+
+        eval_step = jax.jit(tta_step)
+    else:
+        eval_step = jax.jit(make_eval_step(cfg, model))
     evaluators = {}
     if cfg.WITH_PANOPTIC:
         evaluators["panoptic"] = PanopticEvaluator(meta)
@@ -237,7 +261,11 @@ def evaluate_dataset(cfg, model, params, batch_stats,
             if instances_out is not None:
                 from mgnet_tpu.postprocessing import extract_instances
 
-                probs = np.asarray(jax.nn.softmax(sem_logits[0], axis=-1))
+                probs = (
+                    np.asarray(sem_logits[0])  # TTA already averaged probs
+                    if cfg.TEST.MSC_FLIP_EVAL
+                    else np.asarray(jax.nn.softmax(sem_logits[0], axis=-1))
+                )
                 pred_inst = extract_instances(
                     probs, np.asarray(center[0, ..., 0]), pan_np,
                     thing_ids=sorted(thing_train_ids),
