@@ -88,6 +88,21 @@ class Trainer:
             self.state, restored = self.ckpt.restore(self.state)
             if restored:
                 print(f"Resumed from step {int(self.state.step)}")
+                return
+        weights = self.cfg.MODEL.WEIGHTS
+        if weights and weights.endswith(".npz") and os.path.exists(weights):
+            # ImageNet init grafting (reference DetectionCheckpointer with
+            # matching_heuristics, SURVEY.md §5)
+            from mgnet_tpu.utils.weights import load_pretrained_npz
+
+            params, stats, info = load_pretrained_npz(
+                weights, jax.device_get(self.state.params),
+                jax.device_get(self.state.batch_stats),
+            )
+            self.state = self.state.replace(
+                params=params, batch_stats=stats
+            )
+            print(f"Loaded pretrained weights: {info}")
 
     def train(self):
         cfg = self.cfg
