@@ -46,11 +46,11 @@ def id2rgb(ids: np.ndarray) -> np.ndarray:
 
 
 def read_image(path: str) -> np.ndarray:
-    """Read an RGB uint8 image."""
-    from PIL import Image
+    """Read an RGB uint8 image (native libpng/libjpeg decoder when built,
+    PIL fallback — see data/native.py)."""
+    from mgnet_tpu.data import native
 
-    with Image.open(path) as img:
-        return np.asarray(img.convert("RGB"))
+    return native.decode_image(path)
 
 
 def _camera_matrix_from_calib(calib: Dict) -> np.ndarray:

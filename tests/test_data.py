@@ -291,3 +291,46 @@ class TestMapperEndToEnd:
     def test_rgb2id_roundtrip(self):
         ids = np.array([[0, 1000, 26001, 255255]], np.int64)
         np.testing.assert_array_equal(rgb2id(id2rgb(ids)), ids)
+
+
+class TestLoaderDeterminism:
+    def test_same_seed_same_batches(self, tmp_path):
+        from mgnet_tpu.data.cityscapes import (
+            register_all_cityscapes_scene_seg,
+        )
+        from mgnet_tpu.data.loader import TrainLoader
+
+        _make_mini_cityscapes(str(tmp_path))
+        for k in list(DatasetCatalog.list()):
+            DatasetCatalog.remove(k)
+        MetadataCatalog.clear()
+        register_all_cityscapes_scene_seg(str(tmp_path))
+        dicts = DatasetCatalog.get("cityscapes_fine_scene_seg_train")
+
+        cfg = get_default_config()
+        cfg.INPUT.MIN_SIZE_TRAIN = (128,)
+        cfg.INPUT.MAX_SIZE_TRAIN = 256
+        cfg.INPUT.CROP.SIZE = (64, 64)
+        cfg.INPUT.IGNORED_CATEGORIES_IN_DEPTH = ["ego vehicle", "sky"]
+        mapper = TrainDatasetMapper(
+            cfg, dataset_name="cityscapes_fine_scene_seg_train"
+        )
+
+        def first_batches(n=2):
+            loader = TrainLoader(
+                dicts, mapper, batch_size=2, seed=7, num_workers=2,
+                prefetch=2,
+            )
+            it = iter(loader)
+            out = [next(it) for _ in range(n)]
+            loader.close()
+            return out
+
+        a = first_batches()
+        b = first_batches()
+        for ba, bb in zip(a, b):
+            np.testing.assert_array_equal(ba["image"], bb["image"])
+            np.testing.assert_array_equal(ba["sem_seg"], bb["sem_seg"])
+            np.testing.assert_array_equal(
+                ba["camera_matrix"], bb["camera_matrix"]
+            )
