@@ -53,6 +53,19 @@ class Predictor:
 
         name = dataset_name or cfg.DATASETS.TEST[0]
         meta = MetadataCatalog.get(name)
+        if meta.get("categories") is None:
+            # dataset not registered: fall back to the category table
+            # matching the model's class count
+            from mgnet_tpu.data.categories import (
+                CITYSCAPES_CATEGORIES,
+                CITYSCAPES_SCENE_SEG_CATEGORIES,
+                build_meta,
+            )
+
+            cats = (CITYSCAPES_SCENE_SEG_CATEGORIES
+                    if cfg.MODEL.SEM_SEG_HEAD.NUM_CLASSES == 20
+                    else CITYSCAPES_CATEGORIES)
+            meta.set(**build_meta(cats))
         statics = statics_from_meta(cfg, meta)
         self.fused = jax.jit(build_fused_inference(
             self.model, statics,
