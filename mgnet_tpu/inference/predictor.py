@@ -51,6 +51,7 @@ class Predictor:
         self.params = params
         self.batch_stats = batch_stats
 
+        self.use_tta = bool(cfg.TEST.MSC_FLIP_EVAL)
         name = dataset_name or cfg.DATASETS.TEST[0]
         meta = MetadataCatalog.get(name)
         if meta.get("categories") is None:
@@ -67,11 +68,63 @@ class Predictor:
                     else CITYSCAPES_CATEGORIES)
             meta.set(**build_meta(cats))
         statics = statics_from_meta(cfg, meta)
-        self.fused = jax.jit(build_fused_inference(
-            self.model, statics,
-            tuple(cfg.MODEL.PIXEL_MEAN), tuple(cfg.MODEL.PIXEL_STD),
-            with_panoptic=cfg.WITH_PANOPTIC, with_depth=cfg.WITH_DEPTH,
-        ))
+        self.statics = statics
+        if self.use_tta:
+            # multi-scale + flip averaging before post-processing
+            # (reference TEST.MSC_FLIP_EVAL / forward_multi_scale_flip,
+            # used by the PseudoLabelGeneration configs)
+            from functools import partial
+
+            from mgnet_tpu.inference.tta import multi_scale_flip_inference
+            from mgnet_tpu.postprocessing.panoptic import panoptic_fusion
+            from mgnet_tpu.train.step import normalize_images
+
+            pm = tuple(cfg.MODEL.PIXEL_MEAN)
+            ps = tuple(cfg.MODEL.PIXEL_STD)
+            with_pan = cfg.WITH_PANOPTIC
+            with_depth = cfg.WITH_DEPTH
+
+            def tta_fused(params, batch_stats, image, camera_matrix=None,
+                          camera_height=None):
+                variables = {"params": params["model"],
+                             "batch_stats": batch_stats}
+                x = normalize_images(image, pm, ps)
+                out = multi_scale_flip_inference(
+                    self.model, variables, x,
+                    with_panoptic=with_pan, with_depth=with_depth,
+                )
+                result = {}
+                if with_pan:
+                    sem = jnp.argmax(out["sem_seg"], axis=-1).astype(
+                        jnp.int32)
+                    fuse = partial(
+                        panoptic_fusion,
+                        num_classes=statics.num_classes,
+                        last_stuff_id=statics.last_stuff_id,
+                        label_divisor=statics.label_divisor,
+                        stuff_area=statics.stuff_area,
+                        void_label=-1,
+                        threshold=statics.center_threshold,
+                        nms_kernel=statics.nms_kernel,
+                        max_instances=statics.max_instances,
+                    )
+                    result["panoptic"] = jax.vmap(fuse)(
+                        sem, out["center"][..., 0], out["offset"]
+                    )
+                    result["sem_seg"] = sem
+                    result["center"] = out["center"][..., 0]
+                    result["offset"] = out["offset"]
+                if with_depth:
+                    result["depth"] = out["depth"][..., 0]
+                return result
+
+            self.fused = jax.jit(tta_fused)
+        else:
+            self.fused = jax.jit(build_fused_inference(
+                self.model, statics,
+                tuple(cfg.MODEL.PIXEL_MEAN), tuple(cfg.MODEL.PIXEL_STD),
+                with_panoptic=cfg.WITH_PANOPTIC, with_depth=cfg.WITH_DEPTH,
+            ))
         self.mapper = TestDatasetMapper(cfg)
         self.calibration_info = calibration_info
 

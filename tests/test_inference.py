@@ -165,3 +165,32 @@ class TestWeightImport:
         np.testing.assert_allclose(
             got, np.transpose(sd["conv1.weight"], (2, 3, 1, 0)), atol=1e-6
         )
+
+
+class TestPredictor:
+    def test_predictor_basic_and_tta(self):
+        from mgnet_tpu.inference.predictor import Predictor
+
+        cfg = small_cfg()
+        cfg.INPUT.MIN_SIZE_TEST = 64
+        cfg.INPUT.MAX_SIZE_TEST = 128
+        img = np.random.RandomState(0).randint(
+            0, 255, (64, 128, 3), np.uint8
+        )
+        calib = {"intrinsic": {"fx": 100.0, "fy": 100.0,
+                               "u0": 63.5, "v0": 31.5},
+                 "extrinsic": {"z": 1.65}}
+        p = Predictor(cfg, calibration_info=calib, dataset_name="ptest")
+        out = p(img)
+        assert out["panoptic"].shape == (64, 128)
+        assert out["depth"].shape == (64, 128)
+
+        cfg2 = small_cfg()
+        cfg2.INPUT.MIN_SIZE_TEST = 64
+        cfg2.INPUT.MAX_SIZE_TEST = 128
+        cfg2.TEST.MSC_FLIP_EVAL = True
+        p2 = Predictor(cfg2, calibration_info=calib,
+                       dataset_name="ptest2")
+        out2 = p2(img)
+        assert out2["panoptic"].shape == (64, 128)
+        assert out2["depth"].shape == (64, 128)
