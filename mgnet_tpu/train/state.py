@@ -10,7 +10,7 @@ the same parameter tree under 'log_vars' so they are optimized jointly
 
 from __future__ import annotations
 
-from typing import Any, Callable, Optional
+from typing import Any, Optional
 
 import flax.struct
 import jax

@@ -11,8 +11,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from collections import defaultdict
-from typing import Dict, Optional
+from typing import Dict
 
 __all__ = ["MetricLogger"]
 
