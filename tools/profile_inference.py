@@ -32,6 +32,13 @@ def bench(fn, args, iters=30, name=""):
 
 
 def main():
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="Stage-by-stage fused-inference latency breakdown "
+                    "(run on a TPU host)")
+    parser.parse_args()
+
     from mgnet_tpu.config import get_default_config
     from mgnet_tpu.data.catalog import Metadata
     from mgnet_tpu.data.categories import (
