@@ -3,22 +3,19 @@
 The reference enables detectron2's CityscapesInstanceEvaluator (driving
 cityscapesscripts' AP script) behind TEST.EVAL_INSTANCE
 (reference: tools/train_net.py:65-66). Neither external package is a
-dependency here, so mask AP is implemented natively: per class,
-predictions sorted by score are greedily matched to unmatched GT
-instances by mask IoU; AP is the area under the interpolated
-precision-recall curve, averaged over IoU thresholds 0.50:0.05:0.95 (AP)
-and reported at 0.5 (AP50).
-
-Note: matching is performed once (at IoU 0.5) and each prediction's best
-IoU is thresholded afterwards — a standard single-pass approximation of
-the per-threshold rematch protocol; exact per-threshold matching can be
-swapped in later without changing the interface.
+dependency here, so mask AP is implemented natively with the standard
+COCO-style protocol: per class and IoU threshold, predictions sorted by
+score greedily match the best still-unmatched GT instance in their image;
+AP is the area under the interpolated precision-recall curve, averaged
+over IoU thresholds 0.50:0.05:0.95 (AP) and reported at 0.5 (AP50).
+Matching is exact per threshold (each threshold re-runs the greedy match
+over stored IoU lists).
 """
 
 from __future__ import annotations
 
 from collections import OrderedDict, defaultdict
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 import numpy as np
 
@@ -48,9 +45,11 @@ class InstanceAPEvaluator:
         self.reset()
 
     def reset(self):
-        # per class: list of (score, iou_with_matched_gt or 0) + gt counts
+        # per class: list of (score, image_idx, [(gt_local_idx, iou), ...])
         self._preds: Dict[int, List] = defaultdict(list)
-        self._gt_count: Dict[int, int] = defaultdict(int)
+        # per class: {image_idx: n_gt}
+        self._gts: Dict[int, Dict[int, int]] = defaultdict(dict)
+        self._n_images = 0
 
     def process(self, pred_instances: List[Dict],
                 gt_instances: List[Dict]):
@@ -58,46 +57,57 @@ class InstanceAPEvaluator:
             pred_instances: dicts with pred_class / score / mask.
             gt_instances: dicts with category_id (train id) / mask.
         """
+        img = self._n_images
+        self._n_images += 1
+
         gt_by_class: Dict[int, List[Dict]] = defaultdict(list)
         for g in gt_instances:
             gt_by_class[g["category_id"]].append(g)
-            self._gt_count[g["category_id"]] += 1
+        for cid, gts in gt_by_class.items():
+            self._gts[cid][img] = len(gts)
 
-        for cid in self.thing_ids:
-            preds = sorted(
-                [p for p in pred_instances if p["pred_class"] == cid],
-                key=lambda p: -p["score"],
-            )
+        for p in pred_instances:
+            cid = p["pred_class"]
             gts = gt_by_class.get(cid, [])
-            matched = np.zeros(len(gts), bool)
-            for p in preds:
-                best_iou, best_j = 0.0, -1
-                for j, g in enumerate(gts):
-                    if matched[j]:
-                        continue
-                    iou = mask_iou(p["mask"], g["mask"])
-                    if iou > best_iou:
-                        best_iou, best_j = iou, j
-                # record best achievable IoU (threshold applied at eval)
-                if best_j >= 0 and best_iou >= 0.5:
-                    matched[best_j] = True
-                self._preds[cid].append((float(p["score"]), best_iou))
+            ious = [
+                (j, mask_iou(p["mask"], g["mask"]))
+                for j, g in enumerate(gts)
+            ]
+            ious = [(j, v) for j, v in ious if v > 0]
+            self._preds[cid].append((float(p["score"]), img, ious))
 
-    def _ap_for(self, cid: int, thr: float) -> float:
+    def _pr_for(self, cid: int, thr: float):
+        """Exact greedy matching at one IoU threshold."""
         entries = sorted(self._preds.get(cid, []), key=lambda e: -e[0])
-        n_gt = self._gt_count.get(cid, 0)
+        n_gt = sum(self._gts.get(cid, {}).values())
         if n_gt == 0:
-            return float("nan")
-        tp = np.array([1.0 if iou >= thr else 0.0 for _, iou in entries])
-        fp = 1.0 - tp
+            return None
+        matched: Dict[int, set] = defaultdict(set)
+        tp = np.zeros(len(entries))
+        for i, (score, img, ious) in enumerate(entries):
+            best_iou, best_j = thr, -1
+            for j, v in ious:
+                if j in matched[img]:
+                    continue
+                if v >= best_iou:
+                    best_iou, best_j = v, j
+            if best_j >= 0:
+                matched[img].add(best_j)
+                tp[i] = 1.0
         tp_cum = np.cumsum(tp)
-        fp_cum = np.cumsum(fp)
+        fp_cum = np.cumsum(1.0 - tp)
         recall = tp_cum / n_gt
         precision = tp_cum / np.maximum(tp_cum + fp_cum, 1e-9)
-        # standard interpolated AP (precision envelope)
-        mrec = np.concatenate([[0.0], recall, [recall[-1] if len(recall)
-                                              else 0.0]])
-        mpre = np.concatenate([[0.0], precision, [0.0]])
+        return recall, precision
+
+    def _ap_for(self, cid: int, thr: float) -> float:
+        pr = self._pr_for(cid, thr)
+        if pr is None:
+            return float("nan")
+        recall, precision = pr
+        # interpolated AP (precision envelope over recall)
+        mrec = np.concatenate([[0.0], recall])
+        mpre = np.concatenate([[0.0], precision])
         for i in range(len(mpre) - 2, -1, -1):
             mpre[i] = max(mpre[i], mpre[i + 1])
         idx = np.where(mrec[1:] != mrec[:-1])[0]
@@ -106,7 +116,7 @@ class InstanceAPEvaluator:
     def evaluate(self) -> Dict[str, Dict[str, float]]:
         per_class_ap, per_class_ap50 = {}, {}
         for cid in self.thing_ids:
-            if self._gt_count.get(cid, 0) == 0:
+            if sum(self._gts.get(cid, {}).values()) == 0:
                 continue
             aps = [self._ap_for(cid, t) for t in IOU_THRESHOLDS]
             per_class_ap[cid] = float(np.nanmean(aps))

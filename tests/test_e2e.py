@@ -92,6 +92,7 @@ def tiny_cfg(tmp_path):
     cfg.INPUT.IGNORED_CATEGORIES_IN_DEPTH = ["ego vehicle", "sky"]
     cfg.DATALOADER.NUM_WORKERS = 2
     cfg.MODEL.POST_PROCESSING.MAX_INSTANCES = 16
+    cfg.TEST.EVAL_INSTANCE = True
     cfg.OUTPUT_DIR = str(tmp_path / "output")
     cfg.MESH.DATA = 1
     return cfg
@@ -120,6 +121,8 @@ def test_trainer_and_eval_end_to_end(mini_dataset):
     assert "sem_seg" in results
     assert "depth" in results
     assert np.isfinite(results["depth"]["Abs Rel"])
+    assert "instances" in results
+    assert "AP" in results["instances"]
 
 
 def test_trainer_resume(mini_dataset):

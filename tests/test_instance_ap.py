@@ -62,3 +62,29 @@ def test_missed_gt():
                        dict(category_id=12, mask=m2)])
     res = ev.evaluate()["instances"]
     assert np.isclose(res["AP50"], 50.0)  # recall capped at 0.5
+
+
+def test_multi_image_matching():
+    """Matching is per image — a pred in image 0 cannot claim image 1's GT."""
+    ev = InstanceAPEvaluator(_meta())
+    m = box_mask(16, 16, 0, 8, 0, 8)
+    # image 0: one pred matching its own gt
+    ev.process([dict(pred_class=12, score=0.9, mask=m)],
+               [dict(category_id=12, mask=m)])
+    # image 1: one gt, no prediction
+    ev.process([], [dict(category_id=12, mask=m)])
+    res = ev.evaluate()["instances"]
+    assert np.isclose(res["AP50"], 50.0)
+
+
+def test_per_threshold_exactness():
+    """A pred with IoU 0.6 counts as TP at thr 0.5/0.55/0.6 only."""
+    ev = InstanceAPEvaluator(_meta())
+    gt = box_mask(20, 20, 0, 10, 0, 10)       # 100 px
+    pred = box_mask(20, 20, 0, 10, 0, 15)     # 150 px, inter 100
+    # iou = 100 / 150 = 0.6667
+    ev.process([dict(pred_class=12, score=0.9, mask=pred)],
+               [dict(category_id=12, mask=gt)])
+    assert np.isclose(ev._ap_for(12, 0.5), 1.0)
+    assert np.isclose(ev._ap_for(12, 0.65), 1.0)
+    assert np.isclose(ev._ap_for(12, 0.70), 0.0)
