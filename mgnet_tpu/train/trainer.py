@@ -361,10 +361,10 @@ def evaluate_dataset(cfg, model, params, batch_stats,
         for k, v in out.items():
             results[k] = v
     if instances_out is not None:
-        results["instances"] = {
+        results.setdefault("instances", {}).update({
             "num_images": len(instances_out),
             "num_instances": float(sum(
                 len(e["instances"]) for e in instances_out
             )),
-        }
+        })
     return results
