@@ -1,0 +1,102 @@
+"""Pallas TPU kernel: pixel-to-center nearest-neighbor assignment.
+
+The panoptic-fusion clustering step (SURVEY.md §7 hard part #1) assigns
+every thing pixel to the closest of K candidate instance centers in
+(y + offset_y, x + offset_x) space — the reference does this with a
+dynamic [pixels, K] pairwise norm + argmin on CUDA tensors
+(reference: mgnet/postprocessing/panoptic_post_proc.py:123-125).
+
+The XLA formulation (postprocessing/panoptic.py::_cluster_pixels)
+round-trips [chunk, K] distance blocks through HBM via lax.map (~34 ms at
+1024x2048 x K=128). This kernel streams coordinate planes in row-blocks
+and evaluates all K candidates at once in VMEM with K on the lane
+dimension:
+
+    argmin_k |p - c_k|^2  ==  argmin_k (|c_k|^2 - 2 p . c_k)
+
+so the per-tile score tensor [block_h, W, K] never leaves VMEM and the
+arg-reduction runs across lanes on the VPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["center_argmin"]
+
+_BLOCK_H = 8
+
+
+def _kernel(py_ref, px_ref, cy_ref, cx_ref, c2_ref, out_ref):
+    py = py_ref[...]              # [block_h, W]
+    px = px_ref[...]
+    cy = cy_ref[...]              # [1, K]
+    cx = cx_ref[...]
+    c2 = c2_ref[...]              # [1, K] = cy^2 + cx^2
+
+    # scores[h, w, k] = |c_k|^2 - 2 * (py*cy_k + px*cx_k)
+    scores = (c2[0][None, None, :]
+              - 2.0 * (py[:, :, None] * cy[0][None, None, :]
+                       + px[:, :, None] * cx[0][None, None, :]))
+    out_ref[...] = jnp.argmin(scores, axis=-1).astype(jnp.int32)
+
+
+def center_argmin(points_yx: jnp.ndarray, centers_yx: jnp.ndarray,
+                  valid: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """Nearest valid center per pixel.
+
+    Args:
+        points_yx: [H, W, 2] float (y, x) target coordinates per pixel.
+        centers_yx: [K, 2] float candidate centers.
+        valid: [K] bool; invalid centers never win.
+
+    Returns:
+        [H, W] int32 indices into centers_yx.
+    """
+    h, w, _ = points_yx.shape
+    k = centers_yx.shape[0]
+    big = jnp.float32(1e12)
+    cs = jnp.where(valid[:, None], centers_yx.astype(jnp.float32), big)
+    cy = cs[:, 0][None]                     # [1, K]
+    cx = cs[:, 1][None]
+    # clamp |c|^2 so sentinel centers stay finite but dominated
+    c2 = jnp.minimum(cy * cy + cx * cx, jnp.float32(1e30))
+
+    py = points_yx[..., 0].astype(jnp.float32)
+    px = points_yx[..., 1].astype(jnp.float32)
+
+    block_h = min(_BLOCK_H, h)
+    n_blocks = -(-h // block_h)
+    ph = n_blocks * block_h
+    py = jnp.pad(py, ((0, ph - h), (0, 0)))
+    px = jnp.pad(px, ((0, ph - h), (0, 0)))
+
+    out = pl.pallas_call(
+        _kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec((block_h, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_h, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((block_h, w), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ph, w), jnp.int32),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(py, px, cy, cx, c2)
+    return out[:h]

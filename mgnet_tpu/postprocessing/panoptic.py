@@ -54,14 +54,17 @@ def find_instance_centers(center_heatmap: jnp.ndarray, threshold: float,
 
 def _cluster_pixels(centers_yx: jnp.ndarray, valid: jnp.ndarray,
                     offsets: jnp.ndarray, thing_mask: jnp.ndarray,
-                    chunk_rows: int = 128) -> jnp.ndarray:
+                    chunk_rows: int = 128,
+                    use_pallas: bool = False) -> jnp.ndarray:
     """Assign each thing pixel to its nearest center; 0 = stuff/unassigned.
 
     offsets: [H, W, 2] (dy, dx). Returns [H, W] int32 cluster ids in
     [0, K], where id k corresponds to centers_yx[k-1].
 
-    The [pixels, K] distance matrix is evaluated in row-chunks via
-    ``lax.map`` to bound live memory at full 1024x2048 resolution.
+    Default path: the [pixels, K] distance matrix is evaluated in
+    row-chunks via ``lax.map`` to bound live memory at full 1024x2048
+    resolution. ``use_pallas`` switches to the VMEM-resident kernel
+    (ops/pallas/center_argmin.py).
     """
     h, w, _ = offsets.shape
     k = centers_yx.shape[0]
@@ -71,21 +74,27 @@ def _cluster_pixels(centers_yx: jnp.ndarray, valid: jnp.ndarray,
     px = xs + offsets[..., 1]
     pts = jnp.stack([py, px], axis=-1)  # [H, W, 2]
 
-    big = jnp.float32(1e12)
-    cy = jnp.where(valid[:, None], centers_yx, big)  # invalid centers far away
+    if use_pallas:
+        from mgnet_tpu.ops.pallas.center_argmin import center_argmin
 
-    # pad rows to a multiple of chunk_rows
-    pad_rows = (-h) % chunk_rows
-    pts_p = jnp.pad(pts, ((0, pad_rows), (0, 0), (0, 0)))
-    n_chunks = (h + pad_rows) // chunk_rows
-    pts_c = pts_p.reshape(n_chunks, chunk_rows * w, 2)
+        assign = center_argmin(pts, centers_yx, valid)
+    else:
+        big = jnp.float32(1e12)
+        cy = jnp.where(valid[:, None], centers_yx, big)
 
-    def chunk_argmin(p):
-        # [chunk, 2] vs [K, 2] -> [chunk, K] squared distances
-        d = jnp.sum((p[:, None, :] - cy[None, :, :]) ** 2, axis=-1)
-        return jnp.argmin(d, axis=-1).astype(jnp.int32)
+        # pad rows to a multiple of chunk_rows
+        pad_rows = (-h) % chunk_rows
+        pts_p = jnp.pad(pts, ((0, pad_rows), (0, 0), (0, 0)))
+        n_chunks = (h + pad_rows) // chunk_rows
+        pts_c = pts_p.reshape(n_chunks, chunk_rows * w, 2)
 
-    assign = jax.lax.map(chunk_argmin, pts_c).reshape(-1)[: h * w].reshape(h, w)
+        def chunk_argmin(p):
+            # [chunk, 2] vs [K, 2] -> [chunk, K] squared distances
+            d = jnp.sum((p[:, None, :] - cy[None, :, :]) ** 2, axis=-1)
+            return jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+        assign = jax.lax.map(chunk_argmin, pts_c).reshape(-1)[
+            : h * w].reshape(h, w)
     any_valid = jnp.any(valid)
     cluster = jnp.where(thing_mask & any_valid, assign + 1, 0)
     return cluster
@@ -96,6 +105,7 @@ def _cluster_pixels(centers_yx: jnp.ndarray, valid: jnp.ndarray,
     static_argnames=(
         "num_classes", "last_stuff_id", "label_divisor", "stuff_area",
         "void_label", "threshold", "nms_kernel", "max_instances",
+        "use_pallas",
     ),
 )
 def panoptic_fusion(
@@ -111,6 +121,7 @@ def panoptic_fusion(
     threshold: float = 0.3,
     nms_kernel: int = 7,
     max_instances: int = 128,
+    use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Fuse semantic prediction + instance embeddings into a panoptic map.
 
@@ -130,7 +141,8 @@ def panoptic_fusion(
     centers, valid, _ = find_instance_centers(
         center_heatmap, threshold, nms_kernel, max_instances
     )
-    cluster = _cluster_pixels(centers, valid, offsets, thing_mask)
+    cluster = _cluster_pixels(centers, valid, offsets, thing_mask,
+                              use_pallas=use_pallas)
 
     # ---- majority class vote per cluster (thing classes only) ----
     # scatter-add counts[cluster, sem] for thing pixels

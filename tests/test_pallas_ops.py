@@ -44,3 +44,16 @@ def test_fused_photometric_gradient():
     np.testing.assert_allclose(
         np.asarray(g_pallas), np.asarray(g_ref), atol=1e-5
     )
+
+
+def test_center_argmin_matches_xla_path():
+    from mgnet_tpu.ops.pallas.center_argmin import center_argmin
+
+    rng = np.random.RandomState(2)
+    pts = jnp.asarray(rng.uniform(0, 64, (40, 72, 2)), jnp.float32)
+    centers = jnp.asarray(rng.uniform(0, 64, (16, 2)), jnp.float32)
+    valid = jnp.asarray(rng.rand(16) > 0.25)
+    out = center_argmin(pts, centers, valid, interpret=True)
+    cs = np.where(np.asarray(valid)[:, None], np.asarray(centers), 1e12)
+    d = ((np.asarray(pts)[:, :, None, :] - cs[None, None]) ** 2).sum(-1)
+    np.testing.assert_array_equal(np.asarray(out), d.argmin(-1))
