@@ -55,6 +55,21 @@ def main():
         bench(lambda: native.resize_bilinear(img, 512, 1024),
               name="native bilinear resize -> 512x1024")
 
+        # threaded scaling: native decode releases the GIL, so the
+        # prefetch loader's thread pool scales (torch-worker replacement)
+        from concurrent.futures import ThreadPoolExecutor
+
+        for workers in (1, 4, 8):
+            def parallel_decode(n=16, w=workers):
+                with ThreadPoolExecutor(w) as pool:
+                    list(pool.map(lambda _: native.decode_image(path),
+                                  range(n)))
+            t0 = time.perf_counter()
+            parallel_decode()
+            dt = time.perf_counter() - t0
+            print(f"native decode x16, {workers} threads    "
+                  f"{dt * 1000:7.1f} ms total ({16 / dt:6.1f} img/s)")
+
 
 if __name__ == "__main__":
     main()
