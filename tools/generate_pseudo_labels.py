@@ -31,6 +31,14 @@ def main():
     p.add_argument("--weights", default="")
     p.add_argument("--output", required=True)
     p.add_argument("--max-images", type=int, default=0)
+    p.add_argument("--gt-instance-dir", default="",
+                   help="curated gtFine instanceIds dir; copied over the "
+                        "generated labels so human annotations win "
+                        "(reference generate_pseudo_labels.py:146-175)")
+    p.add_argument("--convert-json", default="",
+                   help="when set, convert the final label dir to "
+                        "COCO-panoptic (PNG dir = <output>_panoptic, "
+                        "json = this path)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     args = p.parse_args()
 
@@ -93,8 +101,38 @@ def main():
             os.path.join(args.output, f"{stem}_instanceIds.png")
         )
     print(f"Wrote pseudo labels for {len(dataset)} images to {args.output}")
-    print("Next: run datasets/prepare_cityscapes.py (or prepare_kitti_eigen"
-          ".py) on the output to produce COCO-panoptic json + RGB PNGs.")
+
+    if args.gt_instance_dir:
+        # Human-curated labels override pseudo labels where they exist
+        # (one retry for transient FS errors, matching the reference's only
+        # fault-handling code path).
+        import glob
+
+        files = glob.glob(os.path.join(
+            args.gt_instance_dir, "**", "*_instanceIds.png"), recursive=True)
+        for attempt in range(2):
+            try:
+                for f in files:
+                    shutil.copy(f, os.path.join(
+                        args.output, os.path.basename(f)))
+                break
+            except OSError:
+                if attempt == 1:
+                    raise
+        print(f"Copied {len(files)} curated gt label files over "
+              f"{args.output}")
+
+    if args.convert_json:
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "..", "datasets"))
+        from prepare_cityscapes import convert2panoptic
+
+        out_png_dir = args.output.rstrip("/") + "_panoptic"
+        convert2panoptic(args.output, out_png_dir, args.convert_json)
+    else:
+        print("Next: run datasets/prepare_cityscapes.py (or "
+              "prepare_kitti_eigen.py) on the output to produce "
+              "COCO-panoptic json + RGB PNGs.")
 
 
 if __name__ == "__main__":
