@@ -120,7 +120,8 @@ class PanopticEvaluator:
         )
         self.n_images += 1
 
-    def evaluate(self) -> Dict[str, Dict[str, float]]:
+    def evaluate(self, print_table: bool = True
+                 ) -> Dict[str, Dict[str, float]]:
         pq_res = summarize_pq(self.stat, self.categories)
         res = {
             "PQ": 100 * pq_res["All"]["pq"],
@@ -133,4 +134,32 @@ class PanopticEvaluator:
             "SQ_st": 100 * pq_res["Stuff"]["sq"],
             "RQ_st": 100 * pq_res["Stuff"]["rq"],
         }
+        if print_table:
+            print(self.format_table(pq_res))
         return OrderedDict({"panoptic_seg": res})
+
+    def format_table(self, pq_res=None) -> str:
+        """All/Things/Stuff + per-class PQ table (reference
+        _print_panoptic_results, panoptic_evaluation.py:183-197)."""
+        if pq_res is None:
+            pq_res = summarize_pq(self.stat, self.categories)
+        lines = [
+            "| {:>13s} | {:>7s} | {:>7s} | {:>7s} | {:>4s} |".format(
+                "", "PQ", "SQ", "RQ", "#cat"),
+            "|" + "-" * 53 + "|",
+        ]
+        for name in ("All", "Things", "Stuff"):
+            r = pq_res[name]
+            lines.append(
+                "| {:>13s} | {:7.3f} | {:7.3f} | {:7.3f} | {:4d} |".format(
+                    name, 100 * r["pq"], 100 * r["sq"], 100 * r["rq"],
+                    r["n"])
+            )
+        per_class = pq_res["All"].get("per_class") or {}
+        for cid, r in sorted(per_class.items()):
+            name = self.categories[cid]["name"][:13]
+            lines.append(
+                "| {:>13s} | {:7.3f} | {:7.3f} | {:7.3f} |      |".format(
+                    name, 100 * r["pq"], 100 * r["sq"], 100 * r["rq"])
+            )
+        return "\n".join(lines)

@@ -225,12 +225,18 @@ def evaluate_dataset(cfg, model, params, batch_stats,
     )
 
     div = cfg.MODEL.SIZE_DIVISIBILITY
+    # Fixed pad bucket: test-mapper outputs have shortest edge
+    # MIN_SIZE_TEST and longest <= MAX_SIZE_TEST; padding every sample to
+    # one bucket gives a single compiled executable across the split
+    # (KITTI widths vary per drive).
+    bucket_h = -(-cfg.INPUT.MIN_SIZE_TEST // div) * div
+    bucket_w = -(-cfg.INPUT.MAX_SIZE_TEST // div) * div
     for sample_idx, d in enumerate(dataset):
         sample = mapper(d)
         img = sample["image"]
         h2, w2 = img.shape[:2]
-        ph = -(-h2 // div) * div
-        pw = -(-w2 // div) * div
+        ph = bucket_h if h2 <= bucket_h else -(-h2 // div) * div
+        pw = bucket_w if w2 <= bucket_w else -(-w2 // div) * div
         padded = np.zeros((ph, pw, 3), np.float32)
         padded[:h2, :w2] = img
         out = eval_step(params, batch_stats, jnp.asarray(padded)[None])
