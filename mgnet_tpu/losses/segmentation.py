@@ -53,9 +53,11 @@ def cross_entropy_loss(logits, labels, weights=None, ignore_label: int = 255):
     return jnp.sum(ce) / denom
 
 
-def _kth_largest(x: jnp.ndarray, k: int, iters: int = 32) -> jnp.ndarray:
+def _kth_largest(x: jnp.ndarray, k: int, iters: int = 24) -> jnp.ndarray:
     """Approximate k-th largest value of flat non-negative ``x`` via binary
-    search on the value axis (fixed iteration count — XLA friendly)."""
+    search on the value axis (vs. the reference's full 12M-element
+    descending sort, loss.py:75). Pure fused reductions — no sorts, no
+    scatters (both serialize badly on TPU)."""
     lo = jnp.zeros((), jnp.float32)
     hi = jnp.max(x) + 1e-6
 
@@ -63,7 +65,7 @@ def _kth_largest(x: jnp.ndarray, k: int, iters: int = 32) -> jnp.ndarray:
         lo, hi = carry
         mid = 0.5 * (lo + hi)
         count = jnp.sum(x > mid)
-        # If more than k elements exceed mid, the k-th largest is above mid.
+        # If at least k elements exceed mid, the k-th largest is above mid.
         lo = jnp.where(count >= k, mid, lo)
         hi = jnp.where(count >= k, hi, mid)
         return lo, hi
@@ -75,7 +77,7 @@ def _kth_largest(x: jnp.ndarray, k: int, iters: int = 32) -> jnp.ndarray:
 def topk_sum(x: jnp.ndarray, k: int) -> jnp.ndarray:
     """Sum of the k largest values of flat non-negative ``x`` without sorting.
 
-    Counts elements above the binary-searched threshold t, then corrects
+    Counts elements above the histogram-quantile threshold t, then corrects
     the boundary: sum = sum(x > t) + (k - count) * t.
     """
     t = _kth_largest(x, k)
