@@ -83,9 +83,17 @@ def main():
         from mgnet_tpu.models.mgnet import build_model
         from mgnet_tpu.utils.checkpoint import load_params
 
+        from mgnet_tpu.utils.events import MetricLogger
+
         model = build_model(cfg)
         params, batch_stats = load_params(cfg.MODEL.WEIGHTS)
-        results = evaluate_dataset(cfg, model, params, batch_stats)
+        logger = MetricLogger(cfg.OUTPUT_DIR)
+        results = evaluate_dataset(
+            cfg, model, params, batch_stats,
+            image_logger=logger,
+            visualize_dir=(os.path.join(cfg.OUTPUT_DIR, "eval_vis")
+                           if cfg.VISUALIZE_EVALUATION else None),
+        )
         print(json.dumps(results, indent=2, default=float))
         with open(os.path.join(cfg.OUTPUT_DIR, "metrics.json"), "a") as f:
             f.write(json.dumps(results, default=float) + "\n")
