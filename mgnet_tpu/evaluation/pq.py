@@ -149,11 +149,11 @@ def summarize_pq(stat: PQStat, categories: Dict[int, dict]) -> Dict[str, dict]:
             if not filt(cat):
                 continue
             s = stat.stats.get(cid, {"iou": 0.0, "tp": 0, "fp": 0, "fn": 0})
+            if s["tp"] + s["fp"] + s["fn"] == 0:
+                # panopticapi semantics: categories with no TP/FP/FN
+                # anywhere in the split are excluded from the mean
+                continue
             denom = s["tp"] + 0.5 * s["fp"] + 0.5 * s["fn"]
-            if denom == 0 and s["tp"] == 0 and s["fp"] == 0 and s["fn"] == 0:
-                # category absent everywhere: skip (panopticapi counts all
-                # listed categories; empty ones give pq 0 and are included)
-                pass
             cat_pq = s["iou"] / denom if denom > 0 else 0.0
             cat_sq = s["iou"] / s["tp"] if s["tp"] > 0 else 0.0
             cat_rq = s["tp"] / denom if denom > 0 else 0.0

@@ -36,9 +36,11 @@ class TestPQ:
             gt, pred, [seg(10, 1)], [seg(10, 1)], CATS
         )
         res = summarize_pq(stat, CATS)
-        # stuffA: PQ=1; thingB has no segments -> pq 0 counted in mean
-        assert np.isclose(res["All"]["pq"], 0.5)
+        # stuffA: PQ=1; thingB absent everywhere -> excluded from the mean
+        # (panopticapi semantics)
+        assert np.isclose(res["All"]["pq"], 1.0)
         assert np.isclose(res["Stuff"]["pq"], 1.0)
+        assert res["All"]["n"] == 1
 
     def test_half_overlap_no_match(self):
         """IoU = 1/3 < 0.5 -> FN + FP."""
@@ -106,9 +108,9 @@ class TestPanopticEvaluator:
         pan[10:30, 10:30] = 12 * 1000 + 1            # one person instance
         ev.process(pan, pan)
         res = ev.evaluate()["panoptic_seg"]
-        assert np.isclose(res["PQ"], 100.0 * 2 / 19)  # 2 of 19 classes present
-        # per-present-class quality is perfect
-        assert res["SQ"] >= 0
+        # only present categories count (panopticapi): perfect -> 100
+        assert np.isclose(res["PQ"], 100.0)
+        assert np.isclose(res["SQ"], 100.0)
 
     def test_ego_ignored(self):
         meta = self._meta()

@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""Overfit-one-image validation: panoptic PQ must approach 100.
+
+The strongest data-free correctness check of the whole pipeline: if the
+losses, target generation, augmentation bookkeeping, panoptic fusion, and
+PQ evaluation are all consistent, a model overfitted on a single image
+must reproduce its own ground truth (reference's analog: the model-zoo
+metric table as regression oracle, SURVEY.md §4).
+
+Builds a synthetic one-image Cityscapes-format dataset, trains panoptic-
+only for a few hundred steps, evaluates PQ on the same image.
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def make_dataset(root: str, h: int = 128, w: int = 256):
+    from PIL import Image
+
+    from mgnet_tpu.data.mapper import id2rgb
+
+    city = "overfit"
+    rng = np.random.RandomState(42)
+    dirs = {
+        "img": f"{root}/cityscapes/leftImg8bit/train/{city}",
+        "seq": f"{root}/cityscapes/leftImg8bit_sequence/train/{city}",
+        "cam": f"{root}/cityscapes/camera/train/{city}",
+        "disp": f"{root}/cityscapes/disparity/train/{city}",
+        "gt": f"{root}/cityscapes/gtFine/cityscapes_panoptic_train",
+    }
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    # structured image: distinct appearance per region so it's learnable
+    img = np.zeros((h, w, 3), np.uint8)
+    img[:, :] = (90, 110, 130)                      # road-ish base
+    img[: h // 3] = (200, 220, 250)                 # sky-ish top
+    pan = np.full((h, w), 1 * 1000, np.int32)       # road (trainId 1)
+    pan[: h // 3] = 11 * 1000                       # sky (trainId 11)
+    # two "cars" (trainId 14 -> dataset id 26)
+    pan[60:100, 40:90] = 26 * 1000 + 1
+    img[60:100, 40:90] = (220, 40, 40)
+    pan[70:110, 150:220] = 26 * 1000 + 2
+    img[70:110, 150:220] = (40, 220, 60)
+    img = np.clip(
+        img.astype(int) + rng.randint(-12, 12, img.shape), 0, 255
+    ).astype(np.uint8)
+
+    stem = f"{city}_000000_000010"
+    Image.fromarray(img).save(f"{dirs['img']}/{stem}_leftImg8bit.png")
+    for i in (9, 10, 11):
+        Image.fromarray(img).save(
+            f"{dirs['seq']}/{city}_000000_{i:06d}_leftImg8bit.png")
+    Image.fromarray(id2rgb(pan)).save(
+        f"{dirs['gt']}/{stem}_gtFine_panoptic.png")
+
+    def seg(pid, cat):
+        return {"id": pid, "category_id": cat, "iscrowd": 0,
+                "area": int((pan == pid).sum())}
+
+    ann = {"annotations": [{
+        "image_id": stem,
+        "file_name": f"{stem}_gtFine_panoptic.png",
+        "segments_info": [seg(1000, 7), seg(11000, 23),
+                          seg(26001, 26), seg(26002, 26)],
+    }], "categories": []}
+    with open(f"{root}/cityscapes/gtFine/cityscapes_panoptic_train.json",
+              "w") as f:
+        json.dump(ann, f)
+    with open(f"{dirs['cam']}/{stem}_camera.json", "w") as f:
+        json.dump({"intrinsic": {"fx": 226.0, "fy": 226.0,
+                                 "u0": (w - 1) / 2, "v0": (h - 1) / 2},
+                   "extrinsic": {"baseline": 0.2, "z": 1.2}}, f)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=400)
+    p.add_argument("--lr", type=float, default=3e-3)
+    args = p.parse_args()
+
+    from mgnet_tpu.config import get_default_config
+    from mgnet_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+    from mgnet_tpu.data.cityscapes import register_all_cityscapes_scene_seg
+    from mgnet_tpu.train.trainer import Trainer, evaluate_dataset
+
+    tmp = tempfile.mkdtemp(prefix="mgnet_overfit_")
+    make_dataset(tmp)
+    register_all_cityscapes_scene_seg(tmp)
+
+    cfg = get_default_config()
+    cfg.WITH_DEPTH = False
+    cfg.WITH_UNCERTAINTY = False
+    cfg.MODEL.SEM_SEG_HEAD.OHEM_N_MIN = 2047
+    cfg.SOLVER.MAX_ITER = args.steps
+    cfg.SOLVER.BASE_LR = args.lr
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.WARMUP_ITERS = 20
+    cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9
+    cfg.TEST.EVAL_PERIOD = 0
+    cfg.INPUT.MIN_SIZE_TRAIN = (128,)
+    cfg.INPUT.MAX_SIZE_TRAIN = 256
+    cfg.INPUT.CROP.ENABLED = False
+    cfg.INPUT.COLOR_JITTER.ENABLED = False
+    cfg.INPUT.RANDOM_FLIP = "none"
+    cfg.INPUT.MIN_SIZE_TEST = 128
+    cfg.INPUT.MAX_SIZE_TEST = 256
+    cfg.MODEL.POST_PROCESSING.MAX_INSTANCES = 16
+    cfg.MODEL.POST_PROCESSING.STUFF_AREA = 64
+    cfg.DATASETS.TRAIN = ("cityscapes_fine_scene_seg_train",)
+    cfg.DATASETS.TEST = ("cityscapes_fine_scene_seg_train",)
+    cfg.DATALOADER.NUM_WORKERS = 2
+    cfg.OUTPUT_DIR = os.path.join(tmp, "out")
+    cfg.MESH.DATA = 1
+
+    trainer = Trainer(cfg)
+    trainer.train()
+
+    # print the loss trajectory for diagnosis
+    mpath = os.path.join(cfg.OUTPUT_DIR, "metrics.json")
+    if os.path.exists(mpath):
+        lines = [json.loads(l) for l in open(mpath)]
+        for rec in lines[:: max(1, len(lines) // 10)]:
+            print({k: round(v, 4) for k, v in rec.items()
+                   if k in ("iteration", "loss_total", "loss_sem_seg",
+                            "loss_center", "loss_offset")})
+
+    results = evaluate_dataset(
+        cfg, trainer.model,
+        trainer.state.params, trainer.state.batch_stats,
+    )
+    pq = results["panoptic_seg"]["PQ"]
+    miou = results["sem_seg"]["mIoU"]
+    print(json.dumps({
+        "PQ": pq, "PQ_things": results["panoptic_seg"]["PQ_th"],
+        "PQ_stuff": results["panoptic_seg"]["PQ_st"], "mIoU": miou,
+    }, indent=2))
+    ok = pq > 80 and miou > 80
+    print("OVERFIT VALIDATION:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
