@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 H, W = 128, 256
 FX = 226.0
 BASELINE = 0.22
-DEPTH_TOP, DEPTH_BOTTOM = 30.0, 10.0  # ratio 3:1 == shift ratio 2:6
+DEPTH_TOP, DEPTH_BOTTOM = 30.0, 10.0  # ratio 3:1 == shift ratio 3:9
 
 
 def make_dataset(root: str):
@@ -49,14 +49,14 @@ def make_dataset(root: str):
     import cv2
 
     tex = rng.rand(H, W + 32, 3).astype(np.float32)
-    tex = cv2.GaussianBlur(tex, (0, 0), 3.0)
-    tex = ((tex - tex.min()) / (tex.ptp() + 1e-6) * 255).astype(np.uint8)
+    tex = cv2.GaussianBlur(tex, (0, 0), 1.2)
+    tex = ((tex - tex.min()) / (np.ptp(tex) + 1e-6) * 255).astype(np.uint8)
 
     def frame(shift_sign):
         """shift_sign -1/0/+1: parallax of 2px (top) and 6px (bottom)."""
         img = np.empty((H, W, 3), np.uint8)
-        s_top = 2 * shift_sign
-        s_bot = 6 * shift_sign
+        s_top = 3 * shift_sign
+        s_bot = 9 * shift_sign
         img[: H // 2] = np.roll(tex[: H // 2], s_top, axis=1)[:, :W]
         img[H // 2:] = np.roll(tex[H // 2:], s_bot, axis=1)[:, :W]
         return img
@@ -124,6 +124,9 @@ def main():
     cfg.INPUT.MIN_SIZE_TEST = 128
     cfg.INPUT.MAX_SIZE_TEST = 256
     cfg.INPUT.IGNORED_CATEGORIES_IN_DEPTH = []
+    # exact synthetic correspondences: the static-scene automask shortcut
+    # would otherwise dominate the loss and starve depth of gradient
+    cfg.MODEL.DEPTH_HEAD.AUTOMASK_LOSS = False
     cfg.MODEL.POST_PROCESSING.USE_DGC_SCALING = False  # GT-median scaling
     cfg.DATASETS.TRAIN = ("cityscapes_fine_scene_seg_train",)
     cfg.DATASETS.TEST = ("cityscapes_fine_scene_seg_train",)
