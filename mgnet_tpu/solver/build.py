@@ -43,7 +43,7 @@ def warmup_poly_schedule(base_lr: float, max_iter: int, power: float = 0.9,
         alpha = jnp.clip(step / max(warmup_iters, 1), 0.0, 1.0)
         warmup = warmup_factor * (1.0 - alpha) + alpha
         poly = jnp.power(
-            jnp.clip(1.0 - step / max_iter, a_min=0.0), power
+            jnp.clip(1.0 - step / max_iter, min=0.0), power
         )
         if constant_ending > 0:
             # Constant tail to avoid vanishing LR (detectron2 semantics).
