@@ -7,7 +7,18 @@ steady-state per-frame wall clock on the full model + post-processing
 pipeline). Here the whole pipeline is ONE XLA executable on a single TPU
 chip. Baseline target: >= 30 fps (BASELINE.md north star).
 
+Measurement protocol (the ONE protocol for all recorded numbers, see
+BENCH_NOTES.md): chained dependencies. Every frame's input depends on the
+previous frame's output through a scalar probe, so consecutive frames
+cannot overlap on-device and async completion events cannot resolve
+optimistically; the final probe is actually fetched to the host, which
+transitively proves every frame ran. wall_clock / iters is therefore a
+true upper bound on single-frame latency — the same discipline as the
+reference's per-frame enqueue + cudaStreamSynchronize, robust to the
+host<->TPU relay tunnel this container runs through.
+
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Pass --breakdown for a per-stage table measured with the same protocol.
 """
 
 import json
@@ -29,7 +40,29 @@ except Exception:
     pass
 
 
-def main():
+def chained_seconds_per_iter(step_fn, iters: int, warmup: int = 10) -> float:
+    """Time ``step_fn(carry) -> carry`` with a serializing dependency chain.
+
+    step_fn must fold the f32 scalar carry into its computation and return
+    a new f32 scalar derived from its outputs. The final carry is fetched
+    to the host (real D2H), proving the whole chain executed.
+    """
+    carry = jnp.float32(0.0)
+    for _ in range(warmup):
+        carry = step_fn(carry)
+    float(carry)  # sync + fetch
+
+    carry = jnp.float32(0.0)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        carry = step_fn(carry)
+    final = float(carry)  # D2H fetch: completion proof for the whole chain
+    dt = time.perf_counter() - t0
+    assert np.isfinite(final), "benchmark produced non-finite output"
+    return dt / iters
+
+
+def build_pipeline(height=1024, width=2048, use_pallas_fusion=None):
     from mgnet_tpu.config import get_default_config
     from mgnet_tpu.data.categories import (
         CITYSCAPES_SCENE_SEG_CATEGORIES,
@@ -42,9 +75,10 @@ def main():
     )
     from mgnet_tpu.models.mgnet import build_model
 
-    height, width = 1024, 2048
     cfg = get_default_config()
     cfg.INPUT.IGNORED_CATEGORIES_IN_DEPTH = ["ego vehicle", "sky"]
+    if use_pallas_fusion is not None:
+        cfg.MODEL.POST_PROCESSING.USE_PALLAS_FUSION = use_pallas_fusion
 
     model = build_model(cfg)
     rng = jax.random.PRNGKey(0)
@@ -63,20 +97,6 @@ def main():
         tuple(cfg.MODEL.PIXEL_MEAN), tuple(cfg.MODEL.PIXEL_STD),
     )
 
-    # Return the full outputs plus a scalar probe computed inside the
-    # executable: reading the probe forces completion of the whole frame
-    # with a single tiny D2H transfer and no per-frame retracing.
-    def fused_probe(params, batch_stats, image, camera_matrix,
-                    camera_height):
-        out = fused_raw(params, batch_stats, image,
-                        camera_matrix=camera_matrix,
-                        camera_height=camera_height)
-        probe = (out["depth"][0, 0, 0]
-                 + out["panoptic"][0, 0, 0].astype(jnp.float32))
-        return out, probe
-
-    fused = jax.jit(fused_probe)
-
     image = jnp.asarray(
         np.random.RandomState(0).randint(0, 255, (1, height, width, 3)),
         jnp.float32,
@@ -87,32 +107,98 @@ def main():
                    [0, 0, 1]]], np.float32)
     )
     cam_h = jnp.asarray([1.22], jnp.float32)
+    return (cfg, model, params, batch_stats, statics, fused_raw,
+            image, K, cam_h)
 
-    # warmup (compile + cache)
-    for _ in range(10):
-        out, probe = fused(params, batch_stats, image, K, cam_h)
-    jax.block_until_ready(out)
 
-    # steady state: distinct pre-materialized frame per iteration (prevents
-    # duplicate-computation caching), blocking on each result — matching
-    # the reference's per-frame enqueue + streamSync wall-clock measurement
-    # (trt_inference/main.cpp:214-235).
-    iters = 50
-    frames = [
-        jax.block_until_ready(image + float(i)) for i in range(iters)
-    ]
-    # block on device completion of ALL outputs every frame (the
-    # stream-sync analog; standard JAX benchmarking protocol).
-    # NOTE: through the axon host tunnel an actual per-frame host
-    # readback measures tunnel round-trips (~seconds), not the TPU, so
-    # completion blocking is the honest viable protocol here
-    # (see BENCH_NOTES.md).
-    t0 = time.perf_counter()
-    for f in frames:
-        out, probe = fused(params, batch_stats, f, K, cam_h)
-        jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
-    fps = iters / dt
+def main():
+    breakdown = "--breakdown" in sys.argv
+    (cfg, model, params, batch_stats, statics, fused_raw,
+     image, K, cam_h) = build_pipeline()
+
+    @jax.jit
+    def full_step(carry):
+        # carry folded into the input (1e-24 * carry is numerically inert
+        # but forbids reordering/overlap); probe derived from both heads.
+        img = image + carry * jnp.float32(1e-24)
+        out = fused_raw(params, batch_stats, img,
+                        camera_matrix=K, camera_height=cam_h)
+        return (out["depth"][0, 0, 0]
+                + out["panoptic"][0, -1, -1].astype(jnp.float32))
+
+    sec = chained_seconds_per_iter(full_step, iters=50)
+    fps = 1.0 / sec
+
+    if breakdown:
+        from mgnet_tpu.train.step import normalize_images
+        from mgnet_tpu.postprocessing.panoptic import panoptic_fusion
+        from mgnet_tpu.postprocessing.depth import dgc_scale_factor
+        from mgnet_tpu.geometry import Camera
+        from functools import partial
+
+        pm = tuple(cfg.MODEL.PIXEL_MEAN)
+        ps = tuple(cfg.MODEL.PIXEL_STD)
+
+        @jax.jit
+        def model_step(carry):
+            img = image + carry * jnp.float32(1e-24)
+            out = model.apply(
+                {"params": params["model"], "batch_stats": batch_stats},
+                normalize_images(img, pm, ps), train=False)
+            return (out["depth"][0, 0, 0, 0].astype(jnp.float32)
+                    + out["sem_seg"][0, -1, -1, 0].astype(jnp.float32))
+
+        # fixed head outputs for postproc-stage timing
+        head_out = jax.jit(lambda img: model.apply(
+            {"params": params["model"], "batch_stats": batch_stats},
+            normalize_images(img, pm, ps), train=False))(image)
+        sem = jnp.argmax(head_out["sem_seg"].astype(jnp.float32),
+                         axis=-1).astype(jnp.int32)
+        center = head_out["center"][..., 0].astype(jnp.float32)
+        offset = head_out["offset"].astype(jnp.float32)
+        depth = head_out["depth"].astype(jnp.float32)
+        s = statics
+
+        def fusion_step_for(use_pallas):
+            fuse = partial(
+                panoptic_fusion,
+                num_classes=s.num_classes, last_stuff_id=s.last_stuff_id,
+                label_divisor=s.label_divisor, stuff_area=s.stuff_area,
+                void_label=-1, threshold=s.center_threshold,
+                nms_kernel=s.nms_kernel, max_instances=s.max_instances,
+                use_pallas=use_pallas,
+            )
+
+            @jax.jit
+            def fusion_step(carry):
+                c = center + carry * jnp.float32(1e-24)
+                pan = jax.vmap(fuse)(sem, c, offset)
+                return pan[0, -1, -1].astype(jnp.float32)
+
+            return fusion_step
+
+        @jax.jit
+        def dgc_step(carry):
+            d = depth + carry * jnp.float32(1e-24)
+            cam = Camera(K=K.astype(jnp.float32))
+            points = cam.reconstruct(d, frame="c")
+            scale = dgc_scale_factor(points, cam_h, None)
+            return scale[0]
+
+        rows = {
+            "model_forward": chained_seconds_per_iter(model_step, 30),
+            "panoptic_fusion_xla": chained_seconds_per_iter(
+                fusion_step_for(False), 30),
+            "dgc_scaling": chained_seconds_per_iter(dgc_step, 30),
+            "full_fused": sec,
+        }
+        if jax.default_backend() == "tpu":
+            rows["panoptic_fusion_pallas"] = chained_seconds_per_iter(
+                fusion_step_for(True), 30)
+        for k, v in rows.items():
+            print(f"# {k}: {v * 1e3:.3f} ms  ({1.0 / v:.1f} /s)",
+                  file=sys.stderr)
+
     print(json.dumps({
         "metric": "joint_panoptic_depth_inference_fps_1024x2048",
         "value": round(fps, 3),

@@ -258,8 +258,10 @@ def get_default_config() -> ConfigNode:
     c.MODEL.DEPTH_HEAD.AUTOMASK_LOSS = True
     c.MODEL.DEPTH_HEAD.PHOTOMETRIC_REDUCE_OP = "min"
     c.MODEL.DEPTH_HEAD.PADDING_MODE = "zeros"
-    # Use the fused Pallas SSIM+L1 kernel in the photometric loss.
-    c.MODEL.DEPTH_HEAD.USE_PALLAS_SSIM = False
+    # Use the fused Pallas SSIM+L1 kernel in the photometric loss
+    # (ops/pallas/ssim.py). Auto-falls back to the XLA formulation on
+    # non-TPU backends; numerics are identical (tests/test_pallas_ops.py).
+    c.MODEL.DEPTH_HEAD.USE_PALLAS_SSIM = True
 
     c.MODEL.POST_PROCESSING = ConfigNode()
     c.MODEL.POST_PROCESSING.STUFF_AREA = 2048
@@ -270,6 +272,10 @@ def get_default_config() -> ConfigNode:
     # (replaces the reference's dynamic torch.nonzero,
     # reference: mgnet/postprocessing/panoptic_post_proc.py:59).
     c.MODEL.POST_PROCESSING.MAX_INSTANCES = 128
+    # Use the Pallas VMEM-resident center-argmin kernel for the pixel
+    # clustering step of panoptic fusion (ops/pallas/center_argmin.py).
+    # Auto-falls back to the chunked XLA argmin on non-TPU backends.
+    c.MODEL.POST_PROCESSING.USE_PALLAS_FUSION = True
 
     # ---------------- solver ----------------
     c.SOLVER = ConfigNode()
@@ -344,6 +350,9 @@ def get_default_config() -> ConfigNode:
     c.TEST.EVAL_INSTANCE = False
     c.TEST.MIN_DEPTH = 0.001
     c.TEST.MAX_DEPTH = 80.0
+    # evaluation batch size per process (size-bucketed; detectron2
+    # inference_on_dataset analog). TTA (MSC_FLIP_EVAL) forces 1.
+    c.TEST.IMS_PER_BATCH = 4
 
     # ---------------- TPU-native: mesh / parallelism ----------------
     c.MESH = ConfigNode()

@@ -91,7 +91,24 @@ class DepthEvaluator:
         pred = np.clip(pred, self.min_depth, self.max_depth)
         self._errors.append(depth_metrics(pred, gt))
 
+    def _gather(self):
+        """Merge per-image accumulations across processes (reference
+        comm gather, depth_evaluation.py:114-124)."""
+        from mgnet_tpu.parallel.multihost import (
+            all_gather_objects,
+            process_count,
+        )
+
+        if process_count() == 1:
+            return
+        states = all_gather_objects((self._errors, self._ratios))
+        self._errors, self._ratios = [], []
+        for errors, ratios in states:
+            self._errors.extend(errors)
+            self._ratios.extend(ratios)
+
     def evaluate(self) -> Dict[str, Dict[str, float]]:
+        self._gather()
         if not self._errors:
             return {"depth": {}}
         mean = np.asarray(self._errors).mean(0)

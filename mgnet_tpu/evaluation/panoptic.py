@@ -120,8 +120,29 @@ class PanopticEvaluator:
         )
         self.n_images += 1
 
+    def _gather(self):
+        """Merge accumulation state across processes (reference
+        comm.synchronize + gather, panoptic_evaluation.py:119-122)."""
+        from mgnet_tpu.parallel.multihost import (
+            all_gather_objects,
+            process_count,
+        )
+
+        if process_count() == 1:
+            return
+        states = all_gather_objects((dict(self.stat.stats), self.n_images))
+        merged = PQStat()
+        self.n_images = 0
+        for stats, n in states:
+            other = PQStat()
+            other.stats.update(stats)
+            merged += other
+            self.n_images += n
+        self.stat = merged
+
     def evaluate(self, print_table: bool = True
                  ) -> Dict[str, Dict[str, float]]:
+        self._gather()
         pq_res = summarize_pq(self.stat, self.categories)
         res = {
             "PQ": 100 * pq_res["All"]["pq"],

@@ -39,6 +39,7 @@ class PostprocessStatics(NamedTuple):
     road_class_id: int = -1        # panoptic id (trainId * divisor)
     depth_filter_ids: Tuple[int, ...] = ()
     use_dgc: bool = True
+    use_pallas_fusion: bool = True  # Pallas center-argmin on TPU backends
 
 
 def statics_from_meta(cfg, metadata) -> PostprocessStatics:
@@ -66,6 +67,7 @@ def statics_from_meta(cfg, metadata) -> PostprocessStatics:
         road_class_id=(road * divisor) if road is not None else -1,
         depth_filter_ids=filter_ids,
         use_dgc=cfg.MODEL.POST_PROCESSING.USE_DGC_SCALING,
+        use_pallas_fusion=cfg.MODEL.POST_PROCESSING.USE_PALLAS_FUSION,
     )
 
 
@@ -109,6 +111,7 @@ def build_fused_inference(model, statics: PostprocessStatics,
                 threshold=s.center_threshold,
                 nms_kernel=s.nms_kernel,
                 max_instances=s.max_instances,
+                use_pallas=s.use_pallas_fusion,
             )
             panoptic = jax.vmap(fuse)(sem, center, offset)
             result.update(

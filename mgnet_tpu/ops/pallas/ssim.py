@@ -116,10 +116,16 @@ def _residual_batched(x: jnp.ndarray, y: jnp.ndarray, ssim_w: float,
     xp = jnp.pad(x.astype(jnp.float32), pad, mode="reflect")
     yp = jnp.pad(y.astype(jnp.float32), pad, mode="reflect")
 
-    block_h = min(_BLOCK_H, max(8, h))
+    # block height: sublane (8) aligned so the halo'd async copies stay
+    # aligned for any input height
+    block_h = min(_BLOCK_H, max(8, -(-h // 8) * 8))
     n_blocks = -(-h // block_h)
     ph = n_blocks * block_h + 8
-    w2p = -(-(w + 2) // 128) * 128  # lane-aligned padded width
+    # lane-align (128) the OUTPUT width as well — a narrower HBM output
+    # block fails Mosaic memref slicing (observed at w=64); the input
+    # needs 2 extra halo columns beyond the padded output width.
+    w_out = -(-w // 128) * 128
+    w2p = -(-(w_out + 2) // 128) * 128
 
     def prep(v):
         v = jnp.transpose(v, (0, 3, 1, 2))  # [B, C, H+2, W+2]
@@ -141,14 +147,14 @@ def _residual_batched(x: jnp.ndarray, y: jnp.ndarray, ssim_w: float,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         out_shape=jax.ShapeDtypeStruct(
-            (bsz, n_blocks * block_h, w), jnp.float32
+            (bsz, n_blocks * block_h, w_out), jnp.float32
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
     )(xp, yp)
-    return out[:, :h]
+    return out[:, :h, :w]
 
 
 def _reference_residual(x, y, ssim_weight):

@@ -74,7 +74,7 @@ def _cluster_pixels(centers_yx: jnp.ndarray, valid: jnp.ndarray,
     px = xs + offsets[..., 1]
     pts = jnp.stack([py, px], axis=-1)  # [H, W, 2]
 
-    if use_pallas:
+    if use_pallas and jax.default_backend() == "tpu":
         from mgnet_tpu.ops.pallas.center_argmin import center_argmin
 
         assign = center_argmin(pts, centers_yx, valid)
@@ -145,16 +145,43 @@ def panoptic_fusion(
                               use_pallas=use_pallas)
 
     # ---- majority class vote per cluster (thing classes only) ----
-    # scatter-add counts[cluster, sem] for thing pixels
-    num_bins = (max_instances + 1) * num_classes
-    flat_bin = (cluster * num_classes + sem).reshape(-1)
-    votes = jnp.where(thing_mask, 1, 0).reshape(-1)
-    counts = jnp.zeros((num_bins,), jnp.int32).at[flat_bin].add(votes)
-    counts = counts.reshape(max_instances + 1, num_classes)
+    # counts[k, c] = |{thing pixels : cluster == k and sem == c}|.
+    # A scatter-add here serializes on TPU (~16 ms at 1024x2048); instead
+    # evaluate it as a one-hot(cluster)^T @ one-hot(sem) matmul in
+    # row-chunks — MXU work plus streaming one-hot materialization.
+    n_k = max_instances + 1
+    flat_cluster = cluster.reshape(-1)
+    flat_sem = jnp.where(thing_mask, sem, 0).reshape(-1)
+    votes = thing_mask.reshape(-1)
+    chunk = 128 * w
+    pad = (-flat_cluster.shape[0]) % chunk
+    n_chunks = (flat_cluster.shape[0] + pad) // chunk
+
+    def chunk_counts(args):
+        cl, se, vo = args
+        a = (cl[:, None] == jnp.arange(n_k)[None, :]) & vo[:, None]
+        b = se[:, None] == jnp.arange(num_classes)[None, :]
+        return jax.lax.dot(
+            a.astype(jnp.bfloat16).T, b.astype(jnp.bfloat16),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
+
+    counts = jnp.sum(
+        jax.lax.map(
+            chunk_counts,
+            (
+                jnp.pad(flat_cluster, (0, pad)).reshape(n_chunks, chunk),
+                jnp.pad(flat_sem, (0, pad)).reshape(n_chunks, chunk),
+                jnp.pad(votes, (0, pad)).reshape(n_chunks, chunk),
+            ),
+        ),
+        axis=0,
+    )
     # restrict the vote to thing classes
     class_range = jnp.arange(num_classes)
     thing_class = class_range > last_stuff_id
-    counts = jnp.where(thing_class[None, :], counts, -1)
+    counts = jnp.where(thing_class[None, :], counts, -1.0)
     voted_class = jnp.argmax(counts, axis=-1).astype(jnp.int32)  # [K+1]
 
     # panoptic id for each cluster k>=1: voted_class[k]*divisor + k
@@ -167,13 +194,18 @@ def panoptic_fusion(
     )
 
     # ---- stuff area filter (reference :64-66; only k <= last_stuff_id) ----
-    stuff_counts = jnp.zeros((num_classes,), jnp.int32).at[
-        jnp.clip(pan, 0, num_classes - 1).reshape(-1)
-    ].add(jnp.where((pan >= 0) & (pan <= last_stuff_id), 1, 0).reshape(-1))
-    small_stuff = stuff_counts < stuff_area
+    # per-class pixel counts as compare+reduce (no scatter): one fused
+    # pass over [pixels, num_stuff] booleans
     is_stuff_label = (pan >= 0) & (pan <= last_stuff_id)
+    stuff_ids = jnp.arange(last_stuff_id + 1)
+    stuff_counts = jnp.sum(
+        (pan.reshape(-1, 1) == stuff_ids[None, :])
+        & is_stuff_label.reshape(-1, 1),
+        axis=0,
+    )
+    small_stuff = stuff_counts < stuff_area
     pan = jnp.where(
-        is_stuff_label & small_stuff[jnp.clip(pan, 0, num_classes - 1)],
+        is_stuff_label & small_stuff[jnp.clip(pan, 0, last_stuff_id)],
         void_label,
         pan,
     )

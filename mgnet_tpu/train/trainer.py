@@ -90,19 +90,38 @@ class Trainer:
                 print(f"Resumed from step {int(self.state.step)}")
                 return
         weights = self.cfg.MODEL.WEIGHTS
-        if weights and weights.endswith(".npz") and os.path.exists(weights):
+        if weights:
             # ImageNet init grafting (reference DetectionCheckpointer with
-            # matching_heuristics, SURVEY.md §5)
+            # matching_heuristics, SURVEY.md §5). Resolve with or without
+            # the .npz suffix; a configured-but-absent weights file is a
+            # hard error — silently training from scratch would sink
+            # accuracy parity (reference configs/MGNet-Cityscapes-Fine.yaml:3).
             from mgnet_tpu.utils.weights import load_pretrained_npz
 
+            candidates = [weights]
+            if not weights.endswith(".npz"):
+                candidates.insert(0, weights + ".npz")
+            path = next((p for p in candidates if os.path.exists(p)), None)
+            if path is None:
+                raise FileNotFoundError(
+                    f"MODEL.WEIGHTS={weights!r} not found "
+                    f"(tried {candidates}); run "
+                    "tools/initialize_weights.sh or clear MODEL.WEIGHTS "
+                    "to train from scratch."
+                )
             params, stats, info = load_pretrained_npz(
-                weights, jax.device_get(self.state.params),
+                path, jax.device_get(self.state.params),
                 jax.device_get(self.state.batch_stats),
             )
+            if info["matched"] == 0:
+                raise ValueError(
+                    f"MODEL.WEIGHTS={path!r} matched zero parameter leaves "
+                    f"({info}); wrong file or incompatible model."
+                )
             self.state = self.state.replace(
                 params=params, batch_stats=stats
             )
-            print(f"Loaded pretrained weights: {info}")
+            print(f"Loaded pretrained weights from {path}: {info}")
 
     def train(self):
         cfg = self.cfg
@@ -165,6 +184,12 @@ def evaluate_dataset(cfg, model, params, batch_stats,
     dataset = DatasetCatalog.get(dataset_name)
     if max_samples:
         dataset = dataset[:max_samples]
+    # multi-process evaluation: each process handles a strided shard;
+    # evaluators merge state via all_gather in evaluate() (reference
+    # comm.gather, panoptic_evaluation.py:119-122)
+    n_proc = jax.process_count()
+    if n_proc > 1:
+        dataset = dataset[jax.process_index()::n_proc]
     meta = MetadataCatalog.get(dataset_name)
     mapper = TestDatasetMapper(cfg, dataset_name=dataset_name)
     statics = statics_from_meta(cfg, meta)
@@ -231,40 +256,75 @@ def evaluate_dataset(cfg, model, params, batch_stats,
     # (KITTI widths vary per drive).
     bucket_h = -(-cfg.INPUT.MIN_SIZE_TEST // div) * div
     bucket_w = -(-cfg.INPUT.MAX_SIZE_TEST // div) * div
-    for sample_idx, d in enumerate(dataset):
-        sample = mapper(d)
-        img = sample["image"]
-        h2, w2 = img.shape[:2]
-        ph = bucket_h if h2 <= bucket_h else -(-h2 // div) * div
-        pw = bucket_w if w2 <= bucket_w else -(-w2 // div) * div
-        padded = np.zeros((ph, pw, 3), np.float32)
-        padded[:h2, :w2] = img
-        out = eval_step(params, batch_stats, jnp.asarray(padded)[None])
+    # Size-bucketed batched inference (reference inference_on_dataset
+    # batching, tools/train_net.py:156-170): samples sharing (padded,
+    # valid, original) shapes run through one compiled executable with
+    # B = TEST.IMS_PER_BATCH; partial buckets are padded by repeating
+    # the last sample so no extra executable compiles. TTA stays B=1
+    # (it already compiles one executable per scale x flip).
+    batch_size = 1 if cfg.TEST.MSC_FLIP_EVAL else max(
+        1, int(cfg.TEST.IMS_PER_BATCH))
 
-        height, width = sample["height"], sample["width"]
+    from functools import partial
+
+    fuse_batch = jax.vmap(partial(
+        panoptic_fusion,
+        num_classes=statics.num_classes,
+        last_stuff_id=statics.last_stuff_id,
+        label_divisor=statics.label_divisor,
+        stuff_area=statics.stuff_area,
+        void_label=-1,
+        threshold=statics.center_threshold,
+        nms_kernel=statics.nms_kernel,
+        max_instances=statics.max_instances,
+        use_pallas=statics.use_pallas_fusion,
+    ))
+    need_probs = instances_out is not None
+
+    def run_device_batch(imgs, cams, cam_hs, h2, w2, height, width):
+        """One batched forward + on-device postproc; one D2H per batch."""
+        out = eval_step(params, batch_stats, jnp.asarray(imgs))
 
         def to_full(x):
-            x = x[:, :h2, :w2]
-            return interpolate_bilinear(x, (height, width))
+            return interpolate_bilinear(x[:, :h2, :w2], (height, width))
 
-        result = {}
+        res = {}
+        pan = None
         if cfg.WITH_PANOPTIC:
             sem_logits = to_full(out["sem_seg"].astype(jnp.float32))
             center = to_full(out["center"].astype(jnp.float32))
             offset = to_full(out["offset"].astype(jnp.float32))
-            sem = jnp.argmax(sem_logits[0], axis=-1).astype(jnp.int32)
-            pan = panoptic_fusion(
-                sem, center[0, ..., 0], offset[0],
-                num_classes=statics.num_classes,
-                last_stuff_id=statics.last_stuff_id,
-                label_divisor=statics.label_divisor,
-                stuff_area=statics.stuff_area,
-                void_label=-1,
-                threshold=statics.center_threshold,
-                nms_kernel=statics.nms_kernel,
-                max_instances=statics.max_instances,
+            sem = jnp.argmax(sem_logits, axis=-1).astype(jnp.int32)
+            pan = fuse_batch(sem, center[..., 0], offset)
+            res["sem"] = sem
+            res["pan"] = pan
+            res["center"] = center[..., 0]
+            if need_probs:
+                res["probs"] = (
+                    sem_logits  # TTA path: already averaged probabilities
+                    if cfg.TEST.MSC_FLIP_EVAL
+                    else jax.nn.softmax(sem_logits, axis=-1)
+                )
+        if cfg.WITH_DEPTH:
+            depth = to_full(out["depth"].astype(jnp.float32))
+            dpp, _ = depth_postprocess(
+                depth,
+                jnp.asarray(cams) if cams is not None else None,
+                jnp.asarray(cam_hs, jnp.float32),
+                pan,
+                use_dgc_scaling=cfg.MODEL.POST_PROCESSING.USE_DGC_SCALING,
+                road_class_id=statics.road_class_id,
+                filter_class_ids=statics.depth_filter_ids,
             )
-            pan_np = np.asarray(pan)
+            res["depth"] = dpp
+        return jax.device_get(res)
+
+    def process_one(sample_idx, d, sample, res, i):
+        """Host-side GT loading + evaluator accumulation for one sample."""
+        nonlocal logged_images
+        result = {}
+        if cfg.WITH_PANOPTIC:
+            pan_np = res["pan"][i]
             result["panoptic"] = pan_np
             gt_meta = sample.get("meta", {})
             if gt_meta.get("pan_seg_file_name"):
@@ -277,18 +337,24 @@ def evaluate_dataset(cfg, model, params, batch_stats,
                     gt_sem = np.full_like(gt_pan, 255, dtype=np.int32)
                     for s in gt_meta.get("segments_info", []):
                         gt_sem[gt_pan == s["id"]] = s["category_id"]
-                    evaluators["semantic"].process(np.asarray(sem), gt_sem)
+                    # instance masks for the iIoU weighting (non-crowd
+                    # things, cityscapesscripts semantics)
+                    gt_inst_masks = [
+                        dict(category_id=s["category_id"],
+                             mask=gt_pan == s["id"])
+                        for s in gt_meta.get("segments_info", [])
+                        if s["category_id"] in thing_train_ids
+                        and not s.get("iscrowd", 0)
+                    ]
+                    evaluators["semantic"].process(
+                        res["sem"][i], gt_sem,
+                        gt_instances=gt_inst_masks)
 
             if instances_out is not None:
                 from mgnet_tpu.postprocessing import extract_instances
 
-                probs = (
-                    np.asarray(sem_logits[0])  # TTA already averaged probs
-                    if cfg.TEST.MSC_FLIP_EVAL
-                    else np.asarray(jax.nn.softmax(sem_logits[0], axis=-1))
-                )
                 pred_inst = extract_instances(
-                    probs, np.asarray(center[0, ..., 0]), pan_np,
+                    res["probs"][i], res["center"][i], pan_np,
                     thing_ids=sorted(thing_train_ids),
                     label_divisor=statics.label_divisor,
                 )
@@ -302,36 +368,27 @@ def evaluate_dataset(cfg, model, params, batch_stats,
                         read_image(gt_meta2["pan_seg_file_name"]))
                     gt_inst = [
                         dict(category_id=s["category_id"],
-                             mask=gt_pan2 == s["id"])
+                             mask=gt_pan2 == s["id"],
+                             iscrowd=s.get("iscrowd", 0))
                         for s in gt_meta2.get("segments_info", [])
                         if s["category_id"] in thing_train_ids
-                        and not s.get("iscrowd", 0)
                     ]
-                    evaluators["instance_ap"].process(pred_inst, gt_inst)
+                    # void = pixels not covered by any GT segment
+                    evaluators["instance_ap"].process(
+                        pred_inst, gt_inst, void_mask=gt_pan2 == 0)
 
         if cfg.WITH_DEPTH:
-            depth = to_full(out["depth"].astype(jnp.float32))
-            dpp, _ = depth_postprocess(
-                depth,
-                jnp.asarray(sample["camera_matrix"])[None]
-                if "camera_matrix" in sample else None,
-                jnp.asarray([sample.get("camera_height", 1.0)], jnp.float32),
-                jnp.asarray(result["panoptic"])[None]
-                if "panoptic" in result else None,
-                use_dgc_scaling=cfg.MODEL.POST_PROCESSING.USE_DGC_SCALING,
-                road_class_id=statics.road_class_id,
-                filter_class_ids=statics.depth_filter_ids,
-            )
+            dpp_i = res["depth"][i]
             gt_meta = sample.get("meta", {})
             if gt_meta.get("depth_file_name") or gt_meta.get(
                 "disparity_file_name"
             ):
                 evaluators["depth"].process(
-                    np.asarray(dpp[0]),
+                    dpp_i,
                     {**gt_meta,
                      "calibration_info": gt_meta.get("calibration_info")},
                 )
-            result["depth_vis"] = np.asarray(dpp[0])
+            result["depth_vis"] = dpp_i
 
         # eval-time visual artifacts (<=2 images, reference
         # tensorboard_image_writer.py:66-83)
@@ -361,6 +418,62 @@ def evaluate_dataset(cfg, model, params, batch_stats,
                         d_rgb)
             logged_images += 1
 
+    def prepare(args):
+        sample_idx, d = args
+        sample = mapper(d)
+        img = sample["image"]
+        h2, w2 = img.shape[:2]
+        ph = bucket_h if h2 <= bucket_h else -(-h2 // div) * div
+        pw = bucket_w if w2 <= bucket_w else -(-w2 // div) * div
+        padded = np.zeros((ph, pw, 3), np.float32)
+        padded[:h2, :w2] = img
+        return sample_idx, d, sample, padded
+
+    def flush(key, items):
+        _, _, h2, w2, height, width = key
+        imgs = [it[3] for it in items]
+        cams = [
+            np.asarray(it[2]["camera_matrix"], np.float32)
+            if "camera_matrix" in it[2] else None
+            for it in items
+        ]
+        cam_hs = [float(it[2].get("camera_height", 1.0)) for it in items]
+        while len(imgs) < batch_size:  # repeat-pad partial buckets
+            imgs.append(imgs[-1])
+            cams.append(cams[-1])
+            cam_hs.append(cam_hs[-1])
+        have_cams = all(c is not None for c in cams)
+        res = run_device_batch(
+            np.stack(imgs),
+            np.stack(cams) if have_cams else None,
+            np.asarray(cam_hs, np.float32),
+            h2, w2, height, width,
+        )
+        for i, it in enumerate(items):
+            process_one(it[0], it[1], it[2], res, i)
+
+    from collections import defaultdict
+    from concurrent.futures import ThreadPoolExecutor
+
+    n_images = 0
+    t_eval = time.time()
+    buckets = defaultdict(list)
+    with ThreadPoolExecutor(
+        max(1, int(cfg.DATALOADER.NUM_WORKERS))
+    ) as pool:
+        for item in pool.map(prepare, enumerate(dataset)):
+            sample, padded = item[2], item[3]
+            key = (padded.shape[0], padded.shape[1],
+                   sample["image"].shape[0], sample["image"].shape[1],
+                   sample["height"], sample["width"])
+            buckets[key].append(item)
+            n_images += 1
+            if len(buckets[key]) == batch_size:
+                flush(key, buckets.pop(key))
+    for key in list(buckets):
+        flush(key, buckets.pop(key))
+    eval_seconds = time.time() - t_eval
+
     results: Dict[str, Dict[str, float]] = {}
     for ev in evaluators.values():
         out = ev.evaluate()
@@ -373,4 +486,9 @@ def evaluate_dataset(cfg, model, params, batch_stats,
                 len(e["instances"]) for e in instances_out
             )),
         })
+    if n_images and eval_seconds > 0:
+        results["eval_speed"] = {
+            "images_per_s": n_images / eval_seconds,
+            "num_images": float(n_images),
+        }
     return results

@@ -48,14 +48,25 @@ def load_pretrained_npz(npz_path: str, params: Any, batch_stats: Any
     param_flat = flatten_params(params)
     stats_flat = flatten_params(batch_stats)
 
+    def resolve(k, target):
+        # npz keys are rooted at the model ('backbone/...'); the trainer's
+        # param tree wraps the model under 'model/' (train/state.py:58) —
+        # try both rootings so grafting works against either tree.
+        if k in target:
+            return k
+        if "model/" + k in target:
+            return "model/" + k
+        return None
+
     matched, skipped = 0, 0
     new_params, new_stats = {}, {}
     for k, v in data.items():
         target = stats_flat if (k.endswith("/mean") or k.endswith("/var")) \
             else param_flat
         dest = new_stats if target is stats_flat else new_params
-        if k in target and target[k].shape == v.shape:
-            dest[k] = v
+        rk = resolve(k, target)
+        if rk is not None and target[rk].shape == v.shape:
+            dest[rk] = v
             matched += 1
         else:
             skipped += 1

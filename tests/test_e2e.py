@@ -5,6 +5,8 @@ evaluator stack (SURVEY.md §4 end-to-end strategy)."""
 import json
 import os
 
+import jax
+
 import numpy as np
 import pytest
 
@@ -136,3 +138,87 @@ def test_trainer_resume(mini_dataset):
     trainer2 = Trainer(cfg)
     trainer2.resume_or_load(resume=True)
     assert int(trainer2.state.step) == step_after
+
+
+def _fake_torchvision_r18_state_dict(seed=0):
+    """Synthetic torchvision ResNet-18 state dict (correct keys/shapes)."""
+    rng = np.random.RandomState(seed)
+
+    def conv(o, i, k):
+        return rng.randn(o, i, k, k).astype(np.float32) * 0.05
+
+    sd = {"conv1.weight": conv(64, 3, 7)}
+    for suf in ("weight", "bias", "running_mean", "running_var"):
+        sd[f"bn1.{suf}"] = rng.rand(64).astype(np.float32)
+    chans = [64, 64, 128, 256, 512]
+    for st in range(4):
+        for b in range(2):
+            cin = chans[st] if b == 0 else chans[st + 1]
+            cout = chans[st + 1]
+            p = f"layer{st + 1}.{b}"
+            sd[f"{p}.conv1.weight"] = conv(cout, cin, 3)
+            sd[f"{p}.conv2.weight"] = conv(cout, cout, 3)
+            for bn in ("bn1", "bn2"):
+                for suf in ("weight", "bias", "running_mean",
+                            "running_var"):
+                    sd[f"{p}.{bn}.{suf}"] = rng.rand(cout).astype(np.float32)
+            if cin != cout:
+                sd[f"{p}.downsample.0.weight"] = conv(cout, cin, 1)
+                for suf in ("weight", "bias", "running_mean",
+                            "running_var"):
+                    sd[f"{p}.downsample.1.{suf}"] = rng.rand(cout).astype(
+                        np.float32)
+    return sd
+
+
+def test_trainer_grafts_imagenet_weights(mini_dataset):
+    """VERDICT r1 #2: the flagship WEIGHTS path must load, with or without
+    the .npz suffix, and must graft >0 leaves into the trainer state."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from convert_torchvision_weights import convert_resnet
+
+    from mgnet_tpu.train.trainer import Trainer
+    from mgnet_tpu.utils.weights import flatten_params
+
+    sd = _fake_torchvision_r18_state_dict()
+    flat = convert_resnet(sd, "backbone", 18)
+    flat.update(convert_resnet(sd, "pose_net/encoder", 18,
+                               expand_in_channels=9))
+    npz = str(mini_dataset / "imagenet_weights.npz")
+    np.savez(npz, **flat)
+
+    cfg = tiny_cfg(mini_dataset)
+    # exercise suffix resolution: configure WITHOUT the .npz suffix
+    # (the reference flagship config's spelling before the r1 fix)
+    cfg.MODEL.WEIGHTS = npz[:-4]
+    trainer = Trainer(cfg)
+    trainer.resume_or_load(resume=False)
+
+    got = flatten_params(jax.device_get(trainer.state.params))["model/backbone/stem/conv1/conv/kernel"]
+    np.testing.assert_allclose(
+        got, np.transpose(sd["conv1.weight"], (2, 3, 1, 0)), atol=1e-6)
+    # pose stem: tiled 3x over 9 input channels, divided by 3
+    pose = flatten_params(jax.device_get(trainer.state.params))[
+        "model/pose_net/encoder/stem/conv1/conv/kernel"]
+    assert pose.shape[2] == 9
+    np.testing.assert_allclose(
+        pose[..., :3, :],
+        np.transpose(sd["conv1.weight"], (2, 3, 1, 0)) / 3, atol=1e-6)
+    # BN running stats grafted into batch_stats
+    stats = flatten_params(jax.device_get(trainer.state.batch_stats))
+    np.testing.assert_allclose(
+        stats["backbone/stem/conv1/abn/BatchNorm_0/mean"],
+        sd["bn1.running_mean"], atol=1e-6)
+
+
+def test_trainer_missing_weights_fails_loudly(mini_dataset):
+    from mgnet_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg(mini_dataset)
+    cfg.MODEL.WEIGHTS = str(mini_dataset / "does_not_exist")
+    trainer = Trainer(cfg)
+    with pytest.raises(FileNotFoundError):
+        trainer.resume_or_load(resume=False)

@@ -39,8 +39,22 @@ def main():
                    help="when set, convert the final label dir to "
                         "COCO-panoptic (PNG dir = <output>_panoptic, "
                         "json = this path)")
+    # multi-process inference sharding (reference: distributed
+    # generate_pseudo_labels via launch + DDP, :198-214)
+    p.add_argument("--num-processes", type=int, default=1)
+    p.add_argument("--process-id", type=int, default=0)
+    p.add_argument("--coordinator", default="127.0.0.1:12355")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     args = p.parse_args()
+
+    if args.num_processes > 1:
+        from mgnet_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     from mgnet_tpu.config import load_config
     from mgnet_tpu.data import (
@@ -69,6 +83,10 @@ def main():
     dataset = DatasetCatalog.get(args.dataset)
     if args.max_images:
         dataset = dataset[: args.max_images]
+    if args.num_processes > 1:
+        import jax
+
+        dataset = dataset[jax.process_index()::jax.process_count()]
     meta = MetadataCatalog.get(args.dataset)
     id_map = trainid_to_dataset_id_map(meta.categories)
     label_divisor = meta.label_divisor
@@ -101,6 +119,18 @@ def main():
             os.path.join(args.output, f"{stem}_instanceIds.png")
         )
     print(f"Wrote pseudo labels for {len(dataset)} images to {args.output}")
+
+    if args.num_processes > 1:
+        # barrier, then rank 0 alone performs the gt copy-over + COCO
+        # conversion (reference generate_pseudo_labels.py:144-195)
+        from mgnet_tpu.parallel.multihost import (
+            is_main_process,
+            synchronize,
+        )
+
+        synchronize()
+        if not is_main_process():
+            return
 
     if args.gt_instance_dir:
         # Human-curated labels override pseudo labels where they exist

@@ -67,8 +67,24 @@ def main():
     parser.add_argument("--data-root", default="")
     parser.add_argument("--num-devices", type=int, default=-1,
                         help="data-parallel mesh size (-1 = all)")
+    # multi-process launch (reference launch(num_machines, machine_rank,
+    # dist_url), tools/train_net.py:241-248): run one process per host
+    # with the same coordinator address and distinct --process-id.
+    parser.add_argument("--num-processes", type=int, default=1)
+    parser.add_argument("--process-id", type=int, default=0)
+    parser.add_argument("--coordinator", default="127.0.0.1:12355",
+                        help="coordinator address for multi-process runs")
     parser.add_argument("opts", nargs=argparse.REMAINDER)
     args = parser.parse_args()
+
+    if args.num_processes > 1:
+        from mgnet_tpu.parallel.multihost import initialize_distributed
+
+        initialize_distributed(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     cfg = setup(args)
     if args.num_devices != -1:

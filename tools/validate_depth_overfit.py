@@ -28,6 +28,29 @@ BASELINE = 0.22
 DEPTH_TOP, DEPTH_BOTTOM = 30.0, 10.0  # ratio 3:1 == shift ratio 3:9
 
 
+def _texture():
+    """Multi-octave random texture, [0,1] floats.
+
+    Root-cause finding (VERDICT r1 #7): single-octave blurred white noise
+    (sigma 1.2 => ~3 px correlation length) gives the photometric loss NO
+    gradient basin at the scene's 9 px parallax — the r1 probe failure was
+    a property of the probe texture, not of the loss (the 1-D landscape
+    over tx with coarse structure is smooth and minimized exactly at the
+    analytic pose; see docs/depth_validation.md). Natural images have
+    coarse structure; octaves at sigma 6 and 24 restore it here.
+    """
+    import cv2
+
+    rng = np.random.RandomState(7)
+    tex = np.zeros((H, W + 32, 3), np.float32)
+    for sigma, weight in [(1.5, 0.45), (6.0, 0.3), (24.0, 0.25)]:
+        n = cv2.GaussianBlur(
+            rng.rand(H, W + 32, 3).astype(np.float32), (0, 0), sigma)
+        n = (n - n.mean()) / (n.std() + 1e-6)
+        tex += weight * n
+    return (tex - tex.min()) / (np.ptp(tex) + 1e-6)
+
+
 def make_dataset(root: str):
     from PIL import Image
 
@@ -45,12 +68,7 @@ def make_dataset(root: str):
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
 
-    # smooth random texture (blur white noise so warping has gradients)
-    import cv2
-
-    tex = rng.rand(H, W + 32, 3).astype(np.float32)
-    tex = cv2.GaussianBlur(tex, (0, 0), 1.2)
-    tex = ((tex - tex.min()) / (np.ptp(tex) + 1e-6) * 255).astype(np.uint8)
+    tex = (_texture() * 255).astype(np.uint8)
 
     def frame(shift_sign):
         """shift_sign -1/0/+1: parallax of 2px (top) and 6px (bottom)."""
@@ -93,11 +111,140 @@ def make_dataset(root: str):
     Image.fromarray(stored).save(f"{dirs['disp']}/{stem}_disparity.png")
 
 
+def _analytic_frames():
+    """In-memory version of the synthetic two-plane scene, [0,1] floats."""
+    tex = _texture()
+
+    def frame(sign):
+        img = np.empty((H, W, 3), np.float32)
+        img[: H // 2] = np.roll(tex[: H // 2], 3 * sign, axis=1)[:, :W]
+        img[H // 2:] = np.roll(tex[H // 2:], 9 * sign, axis=1)[:, :W]
+        return img
+
+    cur, prev, nxt = frame(0), frame(1), frame(-1)
+    K = np.array([[FX, 0, (W - 1) / 2], [0, FX, (H - 1) / 2],
+                  [0, 0, 1]], np.float32)[None]
+    # pixel shift s at depth d <=> tx = s * d / fx; by construction both
+    # planes give the same camera translation (3*30 == 9*10)
+    tx = 3.0 * DEPTH_TOP / FX
+    inv_gt = np.full((1, H, W, 1), 1.0 / DEPTH_TOP, np.float32)
+    inv_gt[:, H // 2:] = 1.0 / DEPTH_BOTTOM
+    return cur[None], prev[None], nxt[None], K, tx, inv_gt
+
+
+def run_ablation(mode: str, steps: int) -> int:
+    """Isolated optimization probes (VERDICT r1 #7 root-cause ablations).
+
+    gt_pose:  optimize a per-pixel inverse-depth field with the analytic
+              pose fixed — validates that the warp + photometric loss
+              *optimization landscape* (not just the forward model,
+              tests/test_warp_analytic.py) leads to the true structure.
+              Success metric: per-plane MEDIAN depth (pixels without
+              local texture gradient are unconstrained by photometric
+              consistency — the aperture problem — and only weakly tied
+              by the smoothness prior, so a mean is not meaningful).
+    gt_depth: optimize the pose translation with the true depth fixed.
+              Rotation is frozen: on a single static sample, yaw mimics
+              uniform image shift with fx-amplified leverage and drags
+              Adam into a rotation-dominated local minimum (documented in
+              docs/depth_validation.md — real training avoids this via
+              small LR, the 0.01 PoseCNN output scaling, and batch
+              diversity). Reduce op is 'mean': with 'min', the first
+              context frame to align wins every pixel's min-reduction and
+              starves the other frame's gradient — a single-static-scene
+              artifact, not a training-path bug.
+    """
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from mgnet_tpu.losses.photometric import multi_view_photometric_loss
+
+    cur, prev, nxt, K, tx, inv_gt = map(jnp.asarray, _analytic_frames())
+    gt_pose = jnp.asarray(
+        [[[tx, 0, 0, 0, 0, 0], [-tx, 0, 0, 0, 0, 0]]], jnp.float32
+    )
+
+    def photo(inv_depth, poses, reduce_op="min"):
+        out = multi_view_photometric_loss(
+            [inv_depth], poses, K, cur, [prev, nxt],
+            automask_loss=False, smoothing_loss_weight=0.001,
+            photometric_reduce_op=reduce_op,
+        )
+        return (out["loss_photometric"] + out["loss_smoothness"],
+                out["loss_photometric"])
+
+    truth_photo = float(photo(inv_gt, gt_pose)[1])
+    print(f"photometric at analytic truth: {truth_photo:.6f}")
+
+    if mode == "gt_pose":
+        # head-equivalent parameterization inv = sigmoid(p)/0.5, init
+        # near 15 m (between the 10/30 m planes)
+        param = jnp.full((1, H, W, 1), -3.4, jnp.float32)
+        loss_fn = lambda p: photo(jax.nn.sigmoid(p) / 0.5, gt_pose)  # noqa: E731
+        lr = 3e-2
+    elif mode == "gt_depth":
+        param = jnp.zeros((1, 2, 3), jnp.float32)  # translations only
+
+        def loss_fn(p):
+            poses = 0.01 * jnp.concatenate(
+                [p, jnp.zeros((1, 2, 3), jnp.float32)], axis=-1)
+            return photo(inv_gt, poses, reduce_op="mean")
+
+        lr = 3e-2
+    else:
+        raise ValueError(mode)
+
+    tx_opt = optax.adam(lr)
+    opt_state = tx_opt.init(param)
+
+    @jax.jit
+    def step(param, opt_state):
+        (total, photo_l), g = jax.value_and_grad(
+            loss_fn, has_aux=True)(param)
+        updates, opt_state = tx_opt.update(g, opt_state, param)
+        return optax.apply_updates(param, updates), opt_state, photo_l
+
+    for i in range(steps):
+        param, opt_state, photo_l = step(param, opt_state)
+        if i % max(1, steps // 8) == 0 or i == steps - 1:
+            print(f"  step {i:5d}  photometric {float(photo_l):.6f}")
+
+    photo_l = float(photo_l)
+    if mode == "gt_pose":
+        inv = np.asarray(jax.nn.sigmoid(param) / 0.5)[0, ..., 0]
+        depth = 1.0 / np.clip(inv, 1e-6, None)
+        # per-plane medians away from borders (warp zero padding) and
+        # the depth-discontinuity seam
+        top = float(np.median(depth[16: H // 2 - 4, 16:-16]))
+        bot = float(np.median(depth[H // 2 + 4: -16, 16:-16]))
+        print(f"gt_pose: photometric {photo_l:.6f}  "
+              f"median depth top {top:.2f} (gt {DEPTH_TOP})  "
+              f"bottom {bot:.2f} (gt {DEPTH_BOTTOM})")
+        ok = (photo_l < 3.0 * truth_photo + 1e-3
+              and abs(top - DEPTH_TOP) < 0.15 * DEPTH_TOP
+              and abs(bot - DEPTH_BOTTOM) < 0.15 * DEPTH_BOTTOM)
+    else:
+        vec = 0.01 * np.asarray(param)[0]
+        print(f"gt_depth: photometric {photo_l:.6f}  "
+              f"tx_est ({vec[0, 0]:+.4f}, {vec[1, 0]:+.4f})  "
+              f"tx_true ({float(tx):+.4f}, {-float(tx):+.4f})")
+        ok = (abs(vec[0, 0] - tx) < 0.1 * tx
+              and abs(vec[1, 0] + tx) < 0.1 * tx)
+    print(f"ABLATION {mode}:", "PASS" if ok else "FAIL")
+    return 0 if ok else 1
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=800)
     p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--mode", default="full",
+                   choices=["full", "gt_pose", "gt_depth"])
     args = p.parse_args()
+
+    if args.mode != "full":
+        return run_ablation(args.mode, args.steps)
 
     from mgnet_tpu.config import get_default_config
     from mgnet_tpu.data.cityscapes import register_all_cityscapes_scene_seg
