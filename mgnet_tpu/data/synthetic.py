@@ -10,7 +10,7 @@ import numpy as np
 
 from mgnet_tpu.data.target_generator import PanopticTargetGenerator
 
-__all__ = ["synthetic_train_batch"]
+__all__ = ["synthetic_train_batch", "make_synthetic_cityscapes_raw"]
 
 
 def synthetic_train_batch(
@@ -79,3 +79,56 @@ def synthetic_train_batch(
         out["offset_weights"] = np.stack(ow)
 
     return out
+
+
+def make_synthetic_cityscapes_raw(root: str, split: str = "train",
+                                  n_images: int = 2,
+                                  height: int = 128, width: int = 256,
+                                  seed: int = 7) -> None:
+    """Write a RAW synthetic Cityscapes tree (instanceIds, not yet
+    COCO-panoptic) so the full pipeline — datasets/prepare_cityscapes.py
+    conversion included — can run end-to-end without real data
+    (tools/run_pipeline.py --smoke)."""
+    import json
+    import os
+
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    city = "smokecity"
+    dirs = {
+        "img": f"{root}/cityscapes/leftImg8bit/{split}/{city}",
+        "seq": f"{root}/cityscapes/leftImg8bit_sequence/{split}/{city}",
+        "cam": f"{root}/cityscapes/camera/{split}/{city}",
+        "disp": f"{root}/cityscapes/disparity/{split}/{city}",
+        "raw_gt": f"{root}/cityscapes/gtFine/{split}/{city}",
+    }
+    for d in dirs.values():
+        os.makedirs(d, exist_ok=True)
+
+    for n in range(n_images):
+        stem = f"{city}_{n:06d}_000010"
+        img = rng.randint(0, 255, (height, width, 3), np.uint8)
+        Image.fromarray(img).save(f"{dirs['img']}/{stem}_leftImg8bit.png")
+        for i in (9, 10, 11):
+            frame = f"{city}_{n:06d}_{i:06d}"
+            Image.fromarray(
+                rng.randint(0, 255, (height, width, 3), np.uint8)
+            ).save(f"{dirs['seq']}/{frame}_leftImg8bit.png")
+
+        # raw instanceIds: road stuff (id 7) + one car instance (26xxx)
+        inst = np.full((height, width), 7, np.int32)
+        y0 = 30 + 10 * n
+        inst[y0:y0 + 40, 100:160] = 26000 + n
+        Image.fromarray(inst.astype(np.uint16)).save(
+            f"{dirs['raw_gt']}/{stem}_gtFine_instanceIds.png")
+
+        with open(f"{dirs['cam']}/{stem}_camera.json", "w") as f:
+            json.dump({
+                "intrinsic": {"fx": 226.0, "fy": 226.0,
+                              "u0": (width - 1) / 2,
+                              "v0": (height - 1) / 2},
+                "extrinsic": {"baseline": 0.222, "z": 1.22},
+            }, f)
+        disp = rng.randint(500, 20000, (height, width)).astype(np.uint16)
+        Image.fromarray(disp).save(f"{dirs['disp']}/{stem}_disparity.png")

@@ -7,10 +7,12 @@ dynamic [pixels, K] pairwise norm + argmin on CUDA tensors
 (reference: mgnet/postprocessing/panoptic_post_proc.py:123-125).
 
 The XLA formulation (postprocessing/panoptic.py::_cluster_pixels)
-round-trips [chunk, K] distance blocks through HBM via lax.map (~34 ms at
-1024x2048 x K=128). This kernel streams coordinate planes in row-blocks
-and evaluates all K candidates at once in VMEM with K on the lane
-dimension:
+round-trips [chunk, K] distance blocks through HBM via lax.map —
+measured 5.0 ms at 1024x2048 x K=128 on one v5e chip (chained protocol,
+tools/profile_postproc.py). This kernel streams coordinate planes in
+row-blocks and evaluates all K candidates at once in VMEM with K on the
+lane dimension (measured 3.7 ms best-case, with some run-to-run
+variance through the relay):
 
     argmin_k |p - c_k|^2  ==  argmin_k (|c_k|^2 - 2 p . c_k)
 

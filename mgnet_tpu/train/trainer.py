@@ -148,6 +148,15 @@ class Trainer:
                 }
                 self.logger.log(i + 1, flat)
         self.ckpt.wait()
+        # params-only snapshot for eval/demo/export (detectron2
+        # model_final analog); restored by utils.checkpoint.load_params
+        from mgnet_tpu.utils.checkpoint import save_params
+
+        save_params(
+            os.path.join(self.output_dir, "model_final"),
+            jax.device_get(self.state.params),
+            jax.device_get(self.state.batch_stats),
+        )
         self.loader.close()
 
     def test(self) -> Dict[str, Dict[str, float]]:
@@ -294,7 +303,10 @@ def evaluate_dataset(cfg, model, params, batch_stats,
             sem_logits = to_full(out["sem_seg"].astype(jnp.float32))
             center = to_full(out["center"].astype(jnp.float32))
             offset = to_full(out["offset"].astype(jnp.float32))
-            sem = jnp.argmax(sem_logits, axis=-1).astype(jnp.int32)
+            # channel-first argmax (lane-efficient; see inference/fused.py)
+            sem = jnp.argmax(
+                sem_logits.transpose(0, 3, 1, 2), axis=1
+            ).astype(jnp.int32)
             pan = fuse_batch(sem, center[..., 0], offset)
             res["sem"] = sem
             res["pan"] = pan

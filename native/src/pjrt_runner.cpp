@@ -251,9 +251,39 @@ int main(int argc, char** argv) {
   // Host staging buffer for the per-frame sync readback (Execute is
   // async; reading one output back forces completion — the analog of the
   // reference's cudaStreamSynchronize, main.cpp:233).
+  //
+  // Two wait disciplines (BENCH_NOTES.md):
+  //  * default: wait the device-complete + output-ready events. On
+  //    directly-attached hardware this is exact; through a relay tunnel
+  //    events can resolve optimistically, so the number is a LOWER bound.
+  //  * MGNET_RUNNER_READBACK=1: additionally copy output[0] to the host
+  //    every frame (PJRT_Buffer_ToHostBuffer). Always exact, but through
+  //    a tunnel it adds the link round-trip — an UPPER bound there, the
+  //    TRT-parity protocol on local hardware.
   std::vector<uint8_t> host_out;
+  const bool readback = [] {
+    const char* v = std::getenv("MGNET_RUNNER_READBACK");
+    return v && v[0] == '1';
+  }();
+
+  auto copy_to_host = [&](PJRT_Buffer* buf) {
+    PJRT_Buffer_ToHostBuffer_Args th;
+    std::memset(&th, 0, sizeof(th));
+    th.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+    th.src = buf;
+    th.dst = nullptr;  // size query
+    CHECK_OK(api, api->PJRT_Buffer_ToHostBuffer(&th));
+    host_out.resize(th.dst_size);
+    th.dst = host_out.data();
+    CHECK_OK(api, api->PJRT_Buffer_ToHostBuffer(&th));
+    await_event(api, th.event);
+  };
 
   auto sync_read_output = [&](PJRT_Buffer* buf) {
+    if (readback) {
+      copy_to_host(buf);
+      return;
+    }
     // Block until the output buffer's value is computed on device.
     PJRT_Buffer_ReadyEvent_Args re;
     std::memset(&re, 0, sizeof(re));
@@ -261,7 +291,6 @@ int main(int argc, char** argv) {
     re.buffer = buf;
     CHECK_OK(api, api->PJRT_Buffer_ReadyEvent(&re));
     await_event(api, re.event);
-    (void)host_out;
   };
 
   auto run_once = [&]() {
@@ -303,7 +332,45 @@ int main(int argc, char** argv) {
   double dt =
       std::chrono::duration<double>(std::chrono::steady_clock::now() - t0)
           .count();
-  std::printf("latency: %.3f ms/frame  (%.1f fps) over %d iters\n",
-              dt / iters * 1e3, iters / dt, iters);
+  std::printf("latency: %.3f ms/frame  (%.1f fps) over %d iters  [%s]\n",
+              dt / iters * 1e3, iters / dt, iters,
+              readback ? "per-frame host readback"
+                       : "event-wait (lower bound through a relay)");
+
+  // Completion proof: one real host readback + checksum of output[0].
+  {
+    PJRT_ExecuteOptions opts;
+    std::memset(&opts, 0, sizeof(opts));
+    opts.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+    PJRT_Buffer* const* arg_list = arg_buffers.data();
+    std::vector<PJRT_Buffer*> outs(num_outputs, nullptr);
+    PJRT_Buffer** out_list = outs.data();
+    PJRT_Event* done = nullptr;
+    PJRT_LoadedExecutable_Execute_Args ex;
+    std::memset(&ex, 0, sizeof(ex));
+    ex.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+    ex.executable = loaded;
+    ex.options = &opts;
+    ex.argument_lists = &arg_list;
+    ex.num_devices = 1;
+    ex.num_args = arg_buffers.size();
+    ex.output_lists = &out_list;
+    ex.device_complete_events = &done;
+    CHECK_OK(api, api->PJRT_LoadedExecutable_Execute(&ex));
+    await_event(api, done);
+    copy_to_host(outs[0]);
+    uint64_t checksum = 0;
+    for (uint8_t b : host_out) checksum = checksum * 1099511628211ull + b;
+    std::printf("output[0] readback: %zu bytes, fnv1a=%016llx\n",
+                host_out.size(),
+                static_cast<unsigned long long>(checksum));
+    for (PJRT_Buffer* b : outs) {
+      PJRT_Buffer_Destroy_Args bd;
+      std::memset(&bd, 0, sizeof(bd));
+      bd.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+      bd.buffer = b;
+      CHECK_OK(api, api->PJRT_Buffer_Destroy(&bd));
+    }
+  }
   return 0;
 }

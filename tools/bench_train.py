@@ -68,13 +68,16 @@ def main():
         state, metrics = step(state, batch)
     jax.block_until_ready(metrics["loss_total"])
 
+    # Chained protocol (see bench.py): steps serialize through the
+    # donated `state`, so no intermediate blocking — one real D2H fetch
+    # at the end proves the whole chain executed on device.
     t0 = time.perf_counter()
     for _ in range(args.iters):
         state, metrics = step(state, batch)
-        jax.block_until_ready(metrics["loss_total"])
+    final_loss = float(metrics["loss_total"])
     dt = (time.perf_counter() - t0) / args.iters
     print(f"step time: {dt * 1000:.1f} ms  "
-          f"({args.batch / dt:.2f} img/s, loss={float(metrics['loss_total']):.3f})")
+          f"({args.batch / dt:.2f} img/s, loss={final_loss:.3f})")
 
 
 if __name__ == "__main__":

@@ -39,6 +39,11 @@ def main():
     p.add_argument("--output", required=True)
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=2048)
+    p.add_argument("--verify", action="store_true",
+                   help="after export: reload the artifact and assert "
+                        "numeric parity with the live jit on the current "
+                        "backend (reference onnx.checker role, "
+                        "tools/onnx_trt_export.py:112-113)")
     p.add_argument("opts", nargs=argparse.REMAINDER)
     args = p.parse_args()
 
@@ -87,6 +92,34 @@ def main():
         f.write(co.SerializeAsString())
     print(f"Wrote {args.output} ({len(blob)} bytes), {mlir_path}, "
           f"{args.output}.compile_options.pb")
+
+    if args.verify:
+        import numpy as np
+
+        from mgnet_tpu.export import load_exported
+
+        call = load_exported(args.output)
+        rng = np.random.RandomState(0)
+        img = jnp.asarray(
+            rng.randint(0, 255, (1, args.height, args.width, 3)),
+            jnp.float32)
+        K = jnp.asarray(np.array(
+            [[[2262.52, 0, (args.width - 1) / 2],
+              [0, 2265.3, (args.height - 1) / 2],
+              [0, 0, 1]]], np.float32))
+        ch = jnp.asarray([1.22], jnp.float32)
+        out = jax.device_get(call(img, K, ch))
+        live = jax.device_get(jax.jit(
+            lambda i, k, c: fused(params, batch_stats, i,
+                                  camera_matrix=k, camera_height=c)
+        )(img, K, ch))
+        assert set(out) == set(live), (set(out), set(live))
+        np.testing.assert_array_equal(out["panoptic"], live["panoptic"])
+        np.testing.assert_array_equal(out["sem_seg"], live["sem_seg"])
+        np.testing.assert_allclose(out["depth"], live["depth"],
+                                   rtol=1e-4, atol=1e-4)
+        print(f"PARITY OK on {jax.default_backend()}: exported artifact "
+              "matches live jit (panoptic/sem exact, depth 1e-4)")
 
 
 if __name__ == "__main__":
