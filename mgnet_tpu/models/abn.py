@@ -110,11 +110,15 @@ class ConvABN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        # torch-style symmetric padding k//2 (flax "SAME" pads (lo, hi) =
+        # (k//2 - 1, k//2) at stride 2 — a one-pixel window shift vs the
+        # reference's nn.Conv2d(padding=k//2))
+        kh, kw = tuple(self.kernel_size)
         y = nn.Conv(
             features=self.features,
-            kernel_size=tuple(self.kernel_size),
+            kernel_size=(kh, kw),
             strides=tuple(self.strides),
-            padding="SAME",
+            padding=((kh // 2, kh // 2), (kw // 2, kw // 2)),
             use_bias=False,
             kernel_init=_INITS[self.init_method],
             dtype=self.dtype,

@@ -12,16 +12,95 @@ under pjit (see models/abn.py).
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence
+from typing import Callable, Dict, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
+from jax import lax
 
-from mgnet_tpu.models.abn import ABN, ConvABN
+from mgnet_tpu.models.abn import ABN, ConvABN, kaiming_normal_fan_out
 
 __all__ = ["ResNetABN", "BasicBlock", "BasicStem", "RESNET_STAGE_BLOCKS"]
 
 RESNET_STAGE_BLOCKS = {18: (2, 2, 2, 2), 34: (3, 4, 6, 3)}
+
+
+class _ConvKernel(nn.Module):
+    """Bare conv-kernel parameter holder (named so the param path matches
+    nn.Conv's ``<name>/kernel``, keeping weight-import compatibility)."""
+
+    shape: Sequence[int]
+    init: Callable
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param("kernel", self.init, tuple(self.shape))
+
+
+def _space_to_depth(x: jnp.ndarray, f: int = 2) -> jnp.ndarray:
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // f, f, w // f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // f, w // f, f * f * c)
+
+
+def _stem_kernel_s2d(w7: jnp.ndarray) -> jnp.ndarray:
+    """[7,7,Cin,Cout] stride-2 kernel -> [4,4,4*Cin,Cout] space-to-depth form.
+
+    out[i,j] = sum_{u,v} w7[u,v] x[2i+u-3, 2j+v-3] becomes a stride-1 4x4
+    conv over the factor-2 space-to-depth input with
+    w2[a,b,(p*2+q)*Cin+c] = w7[2a+p-1, 2b+q-1, c] (zero where out of
+    range) and padding (2,1) per spatial dim. Exact (a weight
+    permutation), differentiable, and ~2.2x faster on v5e: the Cin=3
+    stem conv wastes the MXU contraction lanes (4.3 ms -> 1.7 ms at
+    1024x2048, tools bench; see BENCH_NOTES.md).
+    """
+    cin, cout = w7.shape[2], w7.shape[3]
+    w8 = jnp.pad(w7, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    w8 = w8.reshape(4, 2, 4, 2, cin, cout)          # [a, p, b, q, c, o]
+    return w8.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * cin, cout)
+
+
+class _S2DConvABN(nn.Module):
+    """7x7 stride-2 conv-ABN evaluated in space-to-depth form.
+
+    Drop-in for ``ConvABN(kernel_size=(7,7), strides=(2,2))`` with the
+    IDENTICAL variable tree (``conv/kernel`` + ``abn/...``) so ImageNet
+    grafting (tools/convert_torchvision_weights.py) is unaffected.
+    Padding follows torch Conv2d(padding=3) semantics.
+    """
+
+    out_channels: int = 64
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        cin = x.shape[-1]
+        w7 = _ConvKernel(
+            shape=(7, 7, cin, self.out_channels),
+            init=kaiming_normal_fan_out,
+            name="conv",
+        )()
+        dtype = self.dtype or x.dtype
+        xd = x.astype(dtype)
+        _, h, w, _ = x.shape
+        if h % 2 == 0 and w % 2 == 0:
+            xs = _space_to_depth(xd, 2)
+            w2 = _stem_kernel_s2d(w7).astype(dtype)
+            y = lax.conv_general_dilated(
+                xs, w2, (1, 1), ((2, 1), (2, 1)),
+                dimension_numbers=lax.conv_dimension_numbers(
+                    xs.shape, w2.shape, ("NHWC", "HWIO", "NHWC")),
+            )
+        else:
+            y = lax.conv_general_dilated(
+                xd, w7.astype(dtype), (2, 2), ((3, 3), (3, 3)),
+                dimension_numbers=lax.conv_dimension_numbers(
+                    xd.shape, w7.shape, ("NHWC", "HWIO", "NHWC")),
+            )
+        return ABN(
+            axis_name=self.axis_name, dtype=self.dtype, name="abn",
+        )(y, train=train)
 
 
 class BasicStem(nn.Module):
@@ -33,9 +112,8 @@ class BasicStem(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        y = ConvABN(
-            self.out_channels, kernel_size=(7, 7), strides=(2, 2),
-            init_method="msra", axis_name=self.axis_name, dtype=self.dtype,
+        y = _S2DConvABN(
+            self.out_channels, axis_name=self.axis_name, dtype=self.dtype,
             name="conv1",
         )(x, train=train)
         # torch max_pool2d(kernel=3, stride=2, padding=1)

@@ -173,25 +173,30 @@ def panoptic_fusion(
     centers, valid, _ = find_instance_centers(
         center_heatmap, threshold, nms_kernel, max_instances
     )
+
+    # ---- cluster + vote counts ----
+    # counts[k, c] = |{pixels : cluster == k and sem == c}| over ALL
+    # pixels: rows k>=1 are the thing-class majority vote (cluster>=1
+    # pixels are exactly the assigned thing pixels), and row 0 doubles as
+    # the per-class stuff-area histogram (cluster-0 pixels keep sem).
+    n_k = max_instances + 1
     cluster = _cluster_pixels(centers, valid, offsets, thing_mask,
                               use_pallas=use_pallas)
-
-    # ---- majority class vote per cluster (thing classes only) ----
-    # counts[k, c] = |{thing pixels : cluster == k and sem == c}|.
     # A scatter-add here serializes on TPU (~16 ms at 1024x2048); instead
-    # evaluate it as a one-hot(cluster)^T @ one-hot(sem) matmul in
-    # row-chunks — MXU work plus streaming one-hot materialization.
-    n_k = max_instances + 1
+    # evaluate counts as a one-hot(cluster)^T @ one-hot(sem) matmul in
+    # row-chunks — MXU work + streaming one-hot materialization. (A fused
+    # Pallas cluster+count kernel was tried and LOST: the K+1=129 lane
+    # padding to 256 and per-block batched matmuls cost ~7 ms vs ~5.7 ms
+    # for pallas-argmin + this chunked XLA matmul; see BENCH_NOTES.md.)
     flat_cluster = cluster.reshape(-1)
-    flat_sem = jnp.where(thing_mask, sem, 0).reshape(-1)
-    votes = thing_mask.reshape(-1)
+    flat_sem = sem.reshape(-1)
     chunk = 128 * w
     pad = (-flat_cluster.shape[0]) % chunk
     n_chunks = (flat_cluster.shape[0] + pad) // chunk
 
     def chunk_counts(args):
-        cl, se, vo = args
-        a = (cl[:, None] == jnp.arange(n_k)[None, :]) & vo[:, None]
+        cl, se = args
+        a = cl[:, None] == jnp.arange(n_k)[None, :]
         b = se[:, None] == jnp.arange(num_classes)[None, :]
         return jax.lax.dot(
             a.astype(jnp.bfloat16).T, b.astype(jnp.bfloat16),
@@ -204,48 +209,44 @@ def panoptic_fusion(
             chunk_counts,
             (
                 jnp.pad(flat_cluster, (0, pad)).reshape(n_chunks, chunk),
-                jnp.pad(flat_sem, (0, pad)).reshape(n_chunks, chunk),
-                jnp.pad(votes, (0, pad)).reshape(n_chunks, chunk),
+                # pad with out-of-range ids: no count column
+                jnp.pad(flat_sem, (0, pad),
+                        constant_values=num_classes
+                        ).reshape(n_chunks, chunk),
             ),
         ),
         axis=0,
     )
+
     # restrict the vote to thing classes
     class_range = jnp.arange(num_classes)
     thing_class = class_range > last_stuff_id
-    counts = jnp.where(thing_class[None, :], counts, -1.0)
-    voted_class = jnp.argmax(counts, axis=-1).astype(jnp.int32)  # [K+1]
+    voted_class = jnp.argmax(
+        jnp.where(thing_class[None, :], counts, -1.0), axis=-1
+    ).astype(jnp.int32)  # [K+1]
+
+    # ---- stuff area filter (reference :64-66) ----
+    stuff_counts = counts[0, : last_stuff_id + 1]
+    small_stuff = stuff_counts < stuff_area
 
     # panoptic id for cluster k>=1: voted_class[k]*divisor + k. The
     # per-pixel voted-class lookup goes through the matvec helper — a
     # plain table[cluster] gather costs ~20 ms at 2M pixels.
     vc_pixel = _tiny_table_lookup(cluster, voted_class)
+    # gather-free boolean lookup: pixel is small-stuff iff its semantic
+    # label matches any below-area stuff class
+    stuff_ids = jnp.arange(last_stuff_id + 1)
+    small_pixel = jnp.any(
+        (sem.reshape(-1, 1) == stuff_ids[None, :]) & small_stuff[None, :],
+        axis=-1,
+    ).reshape(sem.shape)
     pan = jnp.where(
         cluster > 0,
         vc_pixel * label_divisor + cluster,
-        sem,
+        jnp.where(
+            (sem <= last_stuff_id) & small_pixel,
+            void_label,
+            sem * label_divisor,
+        ),
     )
-
-    # ---- stuff area filter (reference :64-66; only k <= last_stuff_id) ----
-    # per-class pixel counts as compare+reduce (no scatter): one fused
-    # pass over [pixels, num_stuff] booleans
-    is_stuff_label = (pan >= 0) & (pan <= last_stuff_id)
-    stuff_ids = jnp.arange(last_stuff_id + 1)
-    stuff_counts = jnp.sum(
-        (pan.reshape(-1, 1) == stuff_ids[None, :])
-        & is_stuff_label.reshape(-1, 1),
-        axis=0,
-    )
-    small_stuff = stuff_counts < stuff_area
-    # gather-free boolean lookup: pixel is small-stuff iff its (stuff)
-    # label matches any small stuff class
-    small_pixel = jnp.any(
-        (pan.reshape(-1, 1) == stuff_ids[None, :]) & small_stuff[None, :],
-        axis=-1,
-    ).reshape(pan.shape)
-    pan = jnp.where(is_stuff_label & small_pixel, void_label, pan)
-
-    # remaining raw stuff labels -> class_id * divisor (instance 0)
-    is_raw_stuff = (pan >= 0) & (pan < label_divisor)
-    pan = jnp.where(is_raw_stuff, pan * label_divisor, pan)
     return pan.astype(jnp.int32)

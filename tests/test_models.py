@@ -84,3 +84,40 @@ def test_batch_stats_updated_in_train():
         for b, a in zip(before, after)
     )
     assert changed
+
+
+def test_stem_s2d_matches_direct_conv():
+    """Space-to-depth stem == plain 7x7 s2 conv (torch padding=3)."""
+    import jax
+    from jax import lax
+    from mgnet_tpu.models.resnet import BasicStem, _stem_kernel_s2d
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(1, 64, 96, 3), jnp.float32)
+    stem = BasicStem(out_channels=64)  # f32: exact comparison
+    v = stem.init(jax.random.PRNGKey(0), x, train=False)
+    w7 = v["params"]["conv1"]["conv"]["kernel"]
+    assert w7.shape == (7, 7, 3, 64)
+
+    y_s2d = stem.apply(v, x, train=False)
+    # direct path: odd width forces the fallback conv branch
+    x_odd = jnp.pad(x, ((0, 0), (0, 0), (0, 1), (0, 0)))
+    y_direct = stem.apply(v, x_odd, train=False)[:, :, : y_s2d.shape[2]]
+    np.testing.assert_allclose(
+        np.asarray(y_s2d[:, :, :-2]), np.asarray(y_direct[:, :, :-2]),
+        rtol=1e-5, atol=1e-5,
+    )
+
+    # weight transform is the documented permutation
+    w2 = _stem_kernel_s2d(w7)
+    w7n = np.asarray(w7)
+    for a in range(4):
+        for b in range(4):
+            for p in range(2):
+                for q in range(2):
+                    u, vv = 2 * a + p - 1, 2 * b + q - 1
+                    got = np.asarray(w2[a, b, (p * 2 + q) * 3:(p * 2 + q) * 3 + 3])
+                    if 0 <= u <= 6 and 0 <= vv <= 6:
+                        np.testing.assert_array_equal(got, w7n[u, vv])
+                    else:
+                        np.testing.assert_array_equal(got, 0.0)
