@@ -112,6 +112,28 @@ def interpolate_bilinear(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     return y.astype(dtype)
 
 
+def interpolate_bilinear_cf(x: jnp.ndarray,
+                            size: tuple[int, int]) -> jnp.ndarray:
+    """interpolate_bilinear for channel-first [B, C, H, W] tensors.
+
+    Upsampling many-channel maps channel-first keeps the reduction of a
+    following argmax/softmax off the minor dimension (a minor-dim C=20
+    argmax at 1024x2048 costs 7.5 ms on v5e vs 2.2 channel-first, and
+    this variant also skips the full-resolution NHWC->NCHW transpose).
+    """
+    out_h, out_w = size
+    b, c, in_h, in_w = x.shape
+    if (in_h, in_w) == (out_h, out_w):
+        return x
+    f32 = jnp.float32
+    wh = jnp.asarray(_align_corners_weights(in_h, out_h, np.float32))
+    ww = jnp.asarray(_align_corners_weights(in_w, out_w, np.float32))
+    y = x.astype(f32)
+    y = jnp.einsum("ph,bchw->bcpw", wh, y, preferred_element_type=f32)
+    y = jnp.einsum("qw,bcpw->bcpq", ww, y, preferred_element_type=f32)
+    return y
+
+
 def interpolate_nearest(x: jnp.ndarray, size: tuple[int, int]) -> jnp.ndarray:
     """Nearest-neighbor resize matching torch F.interpolate(mode='nearest').
 

@@ -245,6 +245,10 @@ class MGNet(nn.Module):
                 out["inv_depths"] = inv_depths
             else:
                 out["depth"] = inv2depth(inv_depths[0])
+                # raw inverse depth for callers that upsample outside the
+                # model (upsample-then-invert order must match the
+                # reference, mg_net.py:810)
+                out["inv_depth"] = inv_depths[0]
         return out
 
     def pose(self, images_cat: jnp.ndarray, train: bool = False) -> jnp.ndarray:
