@@ -55,6 +55,37 @@ def view_synthesis(ref_image: jnp.ndarray, depth: jnp.ndarray, ref_cam,
         cam: Camera of the target view.
     """
     assert depth.shape[-1] == 1
-    world_points = cam.reconstruct(depth, frame="w")
-    ref_coords = ref_cam.project(world_points, frame="w")
+    # Planar evaluation of reconstruct -> transform -> project: identical
+    # math to cam.reconstruct(frame="w") + ref_cam.project(frame="w") but
+    # on [B, H, W] coordinate planes with per-batch scalar coefficients —
+    # the packed [B,H,W,3] einsum chain puts the 3-vector on the 128-lane
+    # minor dim and wastes 125/128 lanes (see losses/photometric.py).
+    b, h, w, _ = depth.shape
+    f32 = jnp.float32
+    d = depth[..., 0].astype(f32)
+    u = jnp.arange(w, dtype=f32)[None, None, :]
+    v = jnp.arange(h, dtype=f32)[None, :, None]
+
+    def c(m, i, j):
+        return m[:, i, j][:, None, None]
+
+    kinv = cam.Kinv.astype(f32)
+    rx = c(kinv, 0, 0) * u + c(kinv, 0, 1) * v + c(kinv, 0, 2)
+    ry = c(kinv, 1, 0) * u + c(kinv, 1, 1) * v + c(kinv, 1, 2)
+    rz = c(kinv, 2, 0) * u + c(kinv, 2, 1) * v + c(kinv, 2, 2)
+    x, y, z = rx * d, ry * d, rz * d
+
+    m = ref_cam.Tcw.mat.astype(f32)
+    xr = c(m, 0, 0) * x + c(m, 0, 1) * y + c(m, 0, 2) * z + c(m, 0, 3)
+    yr = c(m, 1, 0) * x + c(m, 1, 1) * y + c(m, 1, 2) * z + c(m, 1, 3)
+    zr = c(m, 2, 0) * x + c(m, 2, 1) * y + c(m, 2, 2) * z + c(m, 2, 3)
+
+    k = ref_cam.K.astype(f32)
+    px = c(k, 0, 0) * xr + c(k, 0, 1) * yr + c(k, 0, 2) * zr
+    py = c(k, 1, 0) * xr + c(k, 1, 1) * yr + c(k, 1, 2) * zr
+    pz = c(k, 2, 0) * xr + c(k, 2, 1) * yr + c(k, 2, 2) * zr
+    pz = jnp.clip(pz, min=1e-5)
+    xnorm = 2.0 * (px / pz) / (w - 1) - 1.0
+    ynorm = 2.0 * (py / pz) / (h - 1) - 1.0
+    ref_coords = jnp.stack([xnorm, ynorm], axis=-1)
     return grid_sample(ref_image, ref_coords, padding_mode=padding_mode)

@@ -8,11 +8,14 @@ loss to the min-reduction stack; min-reduce over candidates then mean over
 the reprojection mask; edge-aware smoothness on mean-normalized inverse
 depth with weight 1/2^i per scale; SSIM in its 3x3 avg-pool formulation.
 
-TPU-first: a single pure function over NHWC tensors; all candidates are
-stacked and min-reduced in one fused elementwise pass; computations are
-forced to fp32 (the reference wraps losses in
-@custom_fwd(cast_inputs=float32), mg_net.py:827-829). This whole function
-is the designated Pallas-fusion target (SURVEY.md §7 step 4).
+TPU-first: a single pure function; computations are forced to fp32 (the
+reference wraps losses in @custom_fwd(cast_inputs=float32),
+mg_net.py:827-829). All per-pixel math runs CHANNEL-PLANAR — [B*3, H, W]
+planes with the image width on the 128-lane minor dimension — because
+NHWC arithmetic at C=3 puts the 3-wide channel axis on the lanes and
+wastes 125/128 of every VPU op (measured: one packed-NHWC SSIM residual
+at 2x1024x1024 costs ~2.5 s on v5e; the identical planar formulation
+48 ms). Candidates are min-reduced over a leading stack axis.
 """
 
 from __future__ import annotations
@@ -25,7 +28,6 @@ import jax.numpy as jnp
 from mgnet_tpu.geometry import (
     Camera,
     Pose,
-    calc_smoothness,
     inv2depth,
     view_synthesis,
 )
@@ -68,9 +70,61 @@ def ssim(x: jnp.ndarray, y: jnp.ndarray, c1: float = 1e-4,
     return jnp.clip((1.0 - ssim_val) / 2.0, 0.0, 1.0)
 
 
+def _to_planes(x: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] -> [B*C, H, W] channel planes."""
+    b, h, w, c = x.shape
+    return x.transpose(0, 3, 1, 2).reshape(b * c, h, w)
+
+
+def _avg_pool3_planar(x: jnp.ndarray) -> jnp.ndarray:
+    """3x3/stride-1 'valid' average pool on [N, H, W] planes."""
+    s = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, 3, 3), (1, 1, 1), "VALID"
+    )
+    return s / 9.0
+
+
+def _ssim_planar(x: jnp.ndarray, y: jnp.ndarray, c1: float = 1e-4,
+                 c2: float = 9e-4) -> jnp.ndarray:
+    """ssim() on [N, H, W] planes (same math, lane-efficient layout)."""
+    pad = ((0, 0), (1, 1), (1, 1))
+    xp = jnp.pad(x, pad, mode="reflect")
+    yp = jnp.pad(y, pad, mode="reflect")
+
+    mu_x = _avg_pool3_planar(xp)
+    mu_y = _avg_pool3_planar(yp)
+    mu_xy = mu_x * mu_y
+    mu_xx = mu_x * mu_x
+    mu_yy = mu_y * mu_y
+
+    sigma_x = _avg_pool3_planar(xp * xp) - mu_xx
+    sigma_y = _avg_pool3_planar(yp * yp) - mu_yy
+    sigma_xy = _avg_pool3_planar(xp * yp) - mu_xy
+
+    ssim_val = ((2 * mu_xy + c1) * (2 * sigma_xy + c2)) / (
+        (mu_xx + mu_yy + c1) * (sigma_x + sigma_y + c2)
+    )
+    return jnp.clip((1.0 - ssim_val) / 2.0, 0.0, 1.0)
+
+
+def _photometric_planar(warped_p: jnp.ndarray, image_p: jnp.ndarray,
+                        ssim_weight: float, batch: int) -> jnp.ndarray:
+    """Channel-mean photometric residual [B, H, W] from [B*C, H, W] planes.
+
+    Parity: reference loss.py:169-198 (calc_photometric_loss); the blend
+    of channel means equals the channel mean of blends (linear).
+    """
+    res = jnp.abs(warped_p - image_p)
+    if ssim_weight > 0.0:
+        s = _ssim_planar(warped_p, image_p)
+        res = ssim_weight * s + (1.0 - ssim_weight) * res
+    n, h, w = res.shape
+    return jnp.mean(res.reshape(batch, n // batch, h, w), axis=1)
+
+
 def _photometric(warped: jnp.ndarray, image: jnp.ndarray,
                  ssim_weight: float, use_pallas: bool = False) -> jnp.ndarray:
-    """Channel-mean photometric residual [B,H,W,1].
+    """Channel-mean photometric residual [B,H,W,1] (NHWC wrapper).
 
     Parity: reference loss.py:169-198 (calc_photometric_loss).
     With ``use_pallas`` the fused VMEM-resident kernel computes the
@@ -80,11 +134,9 @@ def _photometric(warped: jnp.ndarray, image: jnp.ndarray,
         from mgnet_tpu.ops.pallas.ssim import fused_photometric_residual
 
         return fused_photometric_residual(warped, image, ssim_weight)
-    l1 = jnp.mean(jnp.abs(warped - image), axis=-1, keepdims=True)
-    if ssim_weight > 0.0:
-        s = jnp.mean(ssim(warped, image), axis=-1, keepdims=True)
-        return ssim_weight * s + (1.0 - ssim_weight) * l1
-    return l1
+    return _photometric_planar(
+        _to_planes(warped), _to_planes(image), ssim_weight, warped.shape[0]
+    )[..., None]
 
 
 def multi_view_photometric_loss(
@@ -130,6 +182,10 @@ def multi_view_photometric_loss(
         if mask.ndim == 3:
             mask = mask[..., None]
 
+    mask = mask[..., 0]  # planar [B,H,W]
+    batch = image.shape[0]
+    image_planes = _to_planes(image)
+
     depths = [inv2depth(d) for d in inv_depths]
     cam = Camera(K=camera_matrix)
 
@@ -138,23 +194,27 @@ def multi_view_photometric_loss(
             "automasking requires the min photometric reduction"
         )
 
-    # Per scale, collect candidate residual maps [B,H,W,1]:
+    def photo(a: jnp.ndarray) -> jnp.ndarray:
+        """Residual of NHWC frame ``a`` against the current image, [B,H,W]."""
+        if use_pallas_ssim and ssim_loss_weight > 0.0:
+            from mgnet_tpu.ops.pallas.ssim import fused_photometric_residual
+
+            return fused_photometric_residual(
+                a, image, ssim_loss_weight)[..., 0]
+        return _photometric_planar(
+            _to_planes(a), image_planes, ssim_loss_weight, batch)
+
+    # Per scale, collect candidate residual maps [B,H,W]:
     # warped + (optional) unwarped automask residual, per context frame.
     candidates: List[List[jnp.ndarray]] = [[] for _ in range(n)]
     for j, ref_image in enumerate(context_images):
         ref_cam = Camera(K=camera_matrix, Tcw=Pose.from_vec(poses[:, j]))
-        unwarped = (
-            _photometric(ref_image, image, ssim_loss_weight,
-                         use_pallas_ssim)
-            if automask_loss else None
-        )
+        unwarped = photo(ref_image) if automask_loss else None
         for i in range(n):
             warped = view_synthesis(
                 ref_image, depths[i], ref_cam, cam, padding_mode=padding_mode
             )
-            candidates[i].append(
-                _photometric(warped, image, ssim_loss_weight,
-                             use_pallas_ssim))
+            candidates[i].append(photo(warped))
             if automask_loss:
                 candidates[i].append(unwarped)
 
@@ -162,11 +222,11 @@ def multi_view_photometric_loss(
     mask_sum = jnp.maximum(jnp.sum(mask), 1.0)
 
     def reduce_scale(cands: List[jnp.ndarray]) -> jnp.ndarray:
-        stacked = jnp.concatenate(cands, axis=-1)  # [B,H,W,n_cand]
+        stacked = jnp.stack(cands, axis=0)  # [n_cand,B,H,W]
         if photometric_reduce_op == "min":
-            m = jnp.min(stacked, axis=-1, keepdims=True)
+            m = jnp.min(stacked, axis=0)
         elif photometric_reduce_op == "mean":
-            m = jnp.mean(stacked, axis=-1, keepdims=True)
+            m = jnp.mean(stacked, axis=0)
         else:
             raise ValueError(
                 f"Unknown photometric_reduce_op: {photometric_reduce_op}"
@@ -175,15 +235,31 @@ def multi_view_photometric_loss(
 
     photometric_loss = sum(reduce_scale(candidates[i]) for i in range(n)) / n
 
-    # Edge-aware smoothness on mean-normalized inverse depth.
-    smooth_x, smooth_y = calc_smoothness(inv_depths, image, n)
-    mask_x = mask[:, :, :-1, :]
-    mask_y = mask[:, :-1, :, :]
+    # Edge-aware smoothness on mean-normalized inverse depth (planar;
+    # same math as geometry.depth.calc_smoothness).
+    inv_norm = [
+        p[..., 0] / jnp.clip(
+            jnp.mean(p[..., 0], axis=(1, 2), keepdims=True), min=1e-6)
+        for p in inv_depths
+    ]
+    img_gx = jnp.abs(image_planes[:, :, :-1] - image_planes[:, :, 1:])
+    img_gy = jnp.abs(image_planes[:, :-1, :] - image_planes[:, 1:, :])
+    weights_x = jnp.exp(
+        -jnp.mean(img_gx.reshape(batch, -1, *img_gx.shape[1:]), axis=1))
+    weights_y = jnp.exp(
+        -jnp.mean(img_gy.reshape(batch, -1, *img_gy.shape[1:]), axis=1))
+
+    mask_x = mask[:, :, :-1]
+    mask_y = mask[:, :-1, :]
     msum_x = jnp.maximum(jnp.sum(mask_x), 1.0)
     msum_y = jnp.maximum(jnp.sum(mask_y), 1.0)
     smoothness_loss = sum(
-        (jnp.sum(jnp.abs(smooth_x[i]) * mask_x) / msum_x
-         + jnp.sum(jnp.abs(smooth_y[i]) * mask_y) / msum_y) / 2**i / 2.0
+        (jnp.sum(jnp.abs(
+            (inv_norm[i][:, :, :-1] - inv_norm[i][:, :, 1:]) * weights_x
+        ) * mask_x) / msum_x
+         + jnp.sum(jnp.abs(
+            (inv_norm[i][:, :-1, :] - inv_norm[i][:, 1:, :]) * weights_y
+         ) * mask_y) / msum_y) / 2**i / 2.0
         for i in range(n)
     ) / n
 

@@ -57,7 +57,15 @@ def _kth_largest(x: jnp.ndarray, k: int, iters: int = 24) -> jnp.ndarray:
     """Approximate k-th largest value of flat non-negative ``x`` via binary
     search on the value axis (vs. the reference's full 12M-element
     descending sort, loss.py:75). Pure fused reductions — no sorts, no
-    scatters (both serialize badly on TPU)."""
+    scatters (both serialize badly on TPU).
+
+    The result is piecewise-constant in ``x`` (zero gradient a.e.), so the
+    search runs on a stop_gradient copy. Without this, the ``jnp.max``
+    seed makes the whole 24-iteration loop reverse-differentiable and XLA
+    rematerializes the upstream CE/upsample chain per iteration — measured
+    3.5 s (!) per train step at 2x1024x1024 vs 36 ms with the gradient
+    stopped."""
+    x = jax.lax.stop_gradient(x)
     lo = jnp.zeros((), jnp.float32)
     hi = jnp.max(x) + 1e-6
 
