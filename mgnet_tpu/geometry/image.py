@@ -197,6 +197,10 @@ def grid_sample(image: jnp.ndarray, coords: jnp.ndarray,
 
     x0c, x1c, y0c, y1c = clip_x(x0), clip_x(x1), clip_y(y0), clip_y(y1)
 
+    # Four per-corner row gathers. (A single 2x2-patch lax.gather was
+    # tried: 13% faster standalone at 2M pixels, but the materialized
+    # [B,HW,2,2,C] patch buffers blew the training-step HBM peak from
+    # ~14G to 28.6G and OOM'd batch 8 @ 1024^2 — reverted.)
     flat = image.reshape(b, h * w, c)
 
     def gather(yi, xi):

@@ -36,10 +36,14 @@ __all__ = ["ssim", "multi_view_photometric_loss"]
 
 
 def _avg_pool3(x: jnp.ndarray) -> jnp.ndarray:
-    """3x3/stride-1 average pool, 'valid' — input is pre-padded."""
-    s = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 3, 3, 1), (1, 1, 1, 1), "VALID"
-    )
+    """3x3/stride-1 average pool, 'valid' — input is pre-padded.
+
+    Shifted-add separable form: lax.reduce_window lowers ~200x off
+    memory-bound speed on v5e (measured ~10 ms per pool at [6,1024,1024]);
+    the six shifted adds fuse into one streaming pass.
+    """
+    r = x[:, :-2, :, :] + x[:, 1:-1, :, :] + x[:, 2:, :, :]
+    s = r[:, :, :-2, :] + r[:, :, 1:-1, :] + r[:, :, 2:, :]
     return s / 9.0
 
 
@@ -77,10 +81,10 @@ def _to_planes(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def _avg_pool3_planar(x: jnp.ndarray) -> jnp.ndarray:
-    """3x3/stride-1 'valid' average pool on [N, H, W] planes."""
-    s = jax.lax.reduce_window(
-        x, 0.0, jax.lax.add, (1, 3, 3), (1, 1, 1), "VALID"
-    )
+    """3x3/stride-1 'valid' average pool on [N, H, W] planes
+    (shifted-add separable form; see _avg_pool3)."""
+    r = x[:, :-2, :] + x[:, 1:-1, :] + x[:, 2:, :]
+    s = r[:, :, :-2] + r[:, :, 1:-1] + r[:, :, 2:]
     return s / 9.0
 
 

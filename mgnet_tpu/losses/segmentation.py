@@ -37,9 +37,12 @@ def _per_pixel_ce(logits: jnp.ndarray, labels: jnp.ndarray,
     valid = labels != ignore_label
     safe_labels = jnp.where(valid, labels, 0)
     logz = jax.nn.logsumexp(logits, axis=-1)
-    picked = jnp.take_along_axis(
-        logits, safe_labels[..., None].astype(jnp.int32), axis=-1
-    )[..., 0]
+    # one-hot select instead of take_along_axis: the per-pixel gather
+    # serializes on TPU and its backward is a scatter; the compare+reduce
+    # fuses into the logsumexp pass and its backward is a broadcast
+    onehot = safe_labels[..., None].astype(jnp.int32) == jnp.arange(
+        logits.shape[-1])
+    picked = jnp.sum(jnp.where(onehot, logits, 0.0), axis=-1)
     ce = logz - picked
     return jnp.where(valid, ce, 0.0), valid
 

@@ -61,12 +61,15 @@ def main():
     step = jax.jit(make_train_step(cfg, model), donate_argnums=(0,))
     t0 = time.perf_counter()
     state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss_total"])
+    # true D2H fetch: through the relay, block_until_ready acks
+    # optimistically and the (slow, autotuned) first execution would
+    # otherwise leak into the timed window
+    float(metrics["loss_total"])
     print(f"compile+first step: {time.perf_counter() - t0:.1f} s")
 
     for _ in range(3):
         state, metrics = step(state, batch)
-    jax.block_until_ready(metrics["loss_total"])
+    float(metrics["loss_total"])
 
     # Chained protocol (see bench.py): steps serialize through the
     # donated `state`, so no intermediate blocking — one real D2H fetch
