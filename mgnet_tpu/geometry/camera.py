@@ -92,7 +92,10 @@ class Camera:
         b, h, w, c = depth.shape
         assert c == 1, f"depth must be [B,H,W,1], got {depth.shape}"
         grid = image_grid(b, h, w, dtype=depth.dtype)
-        rays = jnp.einsum("bij,bhwj->bhwi", self.Kinv.astype(depth.dtype), grid)
+        rays = jnp.einsum(
+            "bij,bhwj->bhwi", self.Kinv.astype(depth.dtype), grid,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # coordinate math: default MXU precision injects subpixel error
         xc = rays * depth
         if frame == "c":
             return xc
@@ -112,7 +115,10 @@ class Camera:
             points = self.Tcw @ points
         elif frame != "c":
             raise ValueError(f"Unknown reference frame {frame}")
-        proj = jnp.einsum("bij,bhwj->bhwi", self.K.astype(points.dtype), points)
+        proj = jnp.einsum(
+            "bij,bhwj->bhwi", self.K.astype(points.dtype), points,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         x, y = proj[..., 0], proj[..., 1]
         z = jnp.clip(proj[..., 2], min=1e-5)
         xnorm = 2.0 * (x / z) / (w - 1) - 1.0

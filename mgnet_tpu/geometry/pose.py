@@ -119,7 +119,10 @@ class Pose:
         """Transform NHWC point maps [B, H, W, 3]."""
         rot = self.mat[:, :3, :3]
         t = self.mat[:, :3, 3]
-        return jnp.einsum("bij,bhwj->bhwi", rot, points) + t[:, None, None, :]
+        return jnp.einsum(
+            "bij,bhwj->bhwi", rot, points,
+            precision=jax.lax.Precision.HIGHEST,
+        ) + t[:, None, None, :]
 
     def __matmul__(self, other):
         if isinstance(other, Pose):

@@ -50,19 +50,32 @@ def main():
     cfg = load_config(args.config_file, args.opts)
     model = build_model(cfg)
     weights = args.weights or cfg.MODEL.WEIGHTS
-    if weights and not os.path.exists(weights):
+    if weights and not os.path.exists(weights) \
+            and not os.path.exists(weights + ".npz"):
         print(f"WARNING: weights path {weights} not found; using random init")
         weights = ""
-    if weights:
-        from mgnet_tpu.utils.checkpoint import load_params
 
-        params, batch_stats = load_params(weights)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)), train=False
+    )
+    params = {"model": variables["params"]}
+    batch_stats = variables.get("batch_stats", {})
+    if weights:
+        npz = weights if weights.endswith(".npz") else weights + ".npz"
+        if os.path.exists(npz):
+            # ImageNet-init graft file (cfg.MODEL.WEIGHTS), not a trained
+            # checkpoint: graft onto fresh init like Trainer.resume_or_load
+            from mgnet_tpu.utils.weights import load_pretrained_npz
+
+            params, batch_stats, info = load_pretrained_npz(
+                npz, params, batch_stats)
+            print(f"Grafted {info['matched']} leaves from {npz}")
+        else:
+            # trained checkpoint dir (Trainer model_final)
+            from mgnet_tpu.utils.checkpoint import load_params
+
+            params, batch_stats = load_params(weights)
     else:
-        variables = model.init(
-            jax.random.PRNGKey(0), jnp.zeros((1, 128, 256, 3)), train=False
-        )
-        params = {"model": variables["params"]}
-        batch_stats = variables.get("batch_stats", {})
         print("WARNING: exporting with random weights (no checkpoint given)")
 
     meta = Metadata(name="export").set(

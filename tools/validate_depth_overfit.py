@@ -221,7 +221,14 @@ def run_ablation(mode: str, steps: int) -> int:
         print(f"gt_pose: photometric {photo_l:.6f}  "
               f"median depth top {top:.2f} (gt {DEPTH_TOP})  "
               f"bottom {bot:.2f} (gt {DEPTH_BOTTOM})")
-        ok = (photo_l < 3.0 * truth_photo + 1e-3
+        # Loss bound: the converged field plateaus at the aperture-problem
+        # floor (~0.03: texture-gradient-free pixels drift), NOT at
+        # truth_photo. truth_photo itself dropped 0.0139 -> 1e-6 when the
+        # warp went planar-f32 (the packed einsum chain computed sampling
+        # coordinates through default-precision MXU matmuls — a real
+        # subpixel-jitter bug), so a truth-relative bound is now far
+        # below the plateau. The medians are the robust statistic.
+        ok = (photo_l < 0.05
               and abs(top - DEPTH_TOP) < 0.15 * DEPTH_TOP
               and abs(bot - DEPTH_BOTTOM) < 0.15 * DEPTH_BOTTOM)
     else:
