@@ -72,16 +72,15 @@ def _kth_largest(x: jnp.ndarray, k: int, iters: int = 24) -> jnp.ndarray:
     lo = jnp.zeros((), jnp.float32)
     hi = jnp.max(x) + 1e-6
 
-    def body(_, carry):
-        lo, hi = carry
+    # static unroll: fori_loop's per-iteration barriers block XLA from
+    # overlapping the count reductions with surrounding work (the same
+    # unroll took the DGC median from 2.0 to 1.4 ms, BENCH_NOTES.md)
+    for _ in range(iters):
         mid = 0.5 * (lo + hi)
         count = jnp.sum(x > mid)
         # If at least k elements exceed mid, the k-th largest is above mid.
         lo = jnp.where(count >= k, mid, lo)
         hi = jnp.where(count >= k, hi, mid)
-        return lo, hi
-
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
     return lo
 
 
