@@ -119,12 +119,14 @@ def main():
     @jax.jit
     def full_step(carry):
         # carry folded into the input (1e-24 * carry is numerically inert
-        # but forbids reordering/overlap); probe derived from both heads.
+        # but forbids reordering/overlap); probe sums EVERY pipeline output
+        # (BENCH_NOTES rule) so nothing a real consumer would fetch can be
+        # dead-code-eliminated. The sums cost ~0.1 ms at 1024x2048.
         img = image + carry * jnp.float32(1e-24)
         out = fused_raw(params, batch_stats, img,
                         camera_matrix=K, camera_height=cam_h)
-        return (out["depth"][0, 0, 0]
-                + out["panoptic"][0, -1, -1].astype(jnp.float32))
+        # nansum: the point cloud carries NaN at sky/ego pixels by design
+        return sum(jnp.nansum(v.astype(jnp.float32)) for v in out.values())
 
     sec = chained_seconds_per_iter(full_step, iters=50)
     fps = 1.0 / sec
@@ -145,8 +147,14 @@ def main():
             out = model.apply(
                 {"params": params["model"], "batch_stats": batch_stats},
                 normalize_images(img, pm, ps), train=False)
-            return (out["depth"][0, 0, 0, 0].astype(jnp.float32)
-                    + out["sem_seg"][0, -1, -1, 0].astype(jnp.float32))
+            # Full-output probe (BENCH_NOTES rule: a probe must consume a
+            # reduction of EVERY stage output, or XLA slices/DCEs the
+            # graph — element probes let it drop the instance head
+            # entirely). The four sums cost <0.5 ms combined at 1024x2048.
+            return sum(
+                out[k].astype(jnp.float32).sum()
+                for k in ("sem_seg", "center", "offset", "depth")
+            )
 
         # fixed head outputs for postproc-stage timing
         head_out = jax.jit(lambda img: model.apply(
@@ -173,7 +181,7 @@ def main():
             def fusion_step(carry):
                 c = center + carry * jnp.float32(1e-24)
                 pan = jax.vmap(fuse)(sem, c, offset)
-                return pan[0, -1, -1].astype(jnp.float32)
+                return pan.astype(jnp.float32).sum()  # full-output probe
 
             return fusion_step
 
@@ -183,7 +191,7 @@ def main():
             cam = Camera(K=K.astype(jnp.float32))
             points = cam.reconstruct(d, frame="c")
             scale = dgc_scale_factor(points, cam_h, None)
-            return scale[0]
+            return scale.sum()  # full-output probe
 
         rows = {
             "model_forward": chained_seconds_per_iter(model_step, 30),

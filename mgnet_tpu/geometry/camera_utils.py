@@ -75,7 +75,12 @@ def view_synthesis(ref_image: jnp.ndarray, depth: jnp.ndarray, ref_cam,
     rz = c(kinv, 2, 0) * u + c(kinv, 2, 1) * v + c(kinv, 2, 2)
     x, y, z = rx * d, ry * d, rz * d
 
-    m = ref_cam.Tcw.mat.astype(f32)
+    # Full chain cam-frame -> world (cam.Twc) -> ref-cam frame (ref_cam.Tcw),
+    # composed into one 4x4 per batch so the per-pixel planar math stays a
+    # single affine application. Matches reference camera_utils.py:24-54
+    # (cam.reconstruct(frame="w") then ref_cam.project(frame="w")) for
+    # arbitrary target-camera poses, not just identity ones.
+    m = (ref_cam.Tcw.transform_pose(cam.Twc)).mat.astype(f32)
     xr = c(m, 0, 0) * x + c(m, 0, 1) * y + c(m, 0, 2) * z + c(m, 0, 3)
     yr = c(m, 1, 0) * x + c(m, 1, 1) * y + c(m, 1, 2) * z + c(m, 1, 3)
     zr = c(m, 2, 0) * x + c(m, 2, 1) * y + c(m, 2, 2) * z + c(m, 2, 3)

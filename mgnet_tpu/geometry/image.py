@@ -120,6 +120,10 @@ def interpolate_bilinear_cf(x: jnp.ndarray,
     following argmax/softmax off the minor dimension (a minor-dim C=20
     argmax at 1024x2048 costs 7.5 ms on v5e vs 2.2 channel-first, and
     this variant also skips the full-resolution NHWC->NCHW transpose).
+
+    Contract note: unlike ``interpolate_bilinear`` this returns float32
+    regardless of the input dtype — callers (fused argmax/softmax paths)
+    want the f32 weights anyway, and casting back would add a relayout.
     """
     out_h, out_w = size
     b, c, in_h, in_w = x.shape

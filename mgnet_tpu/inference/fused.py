@@ -86,6 +86,12 @@ def build_fused_inference(model, statics: PostprocessStatics,
         'offset'    [B,H,W,2] f32
         'depth'     [B,H,W]   f32 metric depth (DGC-rescaled)
         'points'    [B,H,W,3] f32 camera-frame point cloud
+
+    Output-contract note: full-resolution semantic logits
+    ('sem_seg_logits') were removed from this dict when the semantic
+    branch switched to channel-first upsample + fused argmax (they were
+    never materialized NHWC afterwards). Harnesses needing logits should
+    use MGNetPredictor / the model's ``upsample=True`` path instead.
     """
     s = statics
 

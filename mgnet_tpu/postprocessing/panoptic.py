@@ -62,9 +62,14 @@ def _topk_2stage(x: jnp.ndarray, k: int, rows: int = 256):
     A single lax.top_k over 2M elements costs ~5 ms on v5e; splitting
     into 256 row-wise top-k's and merging the 256*k candidates measures
     ~3 ms with identical results (ties broken by lower index, matching
-    lax.top_k, as long as no row holds more than k cutoff-value ties —
-    post-NMS float scores make that measure-zero). Falls back to a
-    single top_k for small inputs.
+    lax.top_k, as long as no row holds more than k cutoff-value ties).
+    Caveat: post-NMS heatmaps are mostly the -1.0 sentinel, which DOES
+    tie massively — so index agreement with lax.top_k is only guaranteed
+    for entries whose value is above the tie plateau (scores > threshold);
+    filler/invalid slots may carry different indices. Callers must mask on
+    ``scores > 0`` (as find_instance_centers does) and never rely on the
+    indices of invalid slots. Falls back to a single top_k for small
+    inputs.
     """
     n = x.shape[0]
     if n < rows * k * 2:

@@ -116,6 +116,48 @@ class TestCamera:
         warped = view_synthesis(img, depth, cam, cam)
         np.testing.assert_allclose(warped, img, atol=1e-4)
 
+    def test_warp_with_nonidentity_target_pose(self):
+        """view_synthesis must fold the target camera's pose (cam.Twc) in.
+
+        Matches the reference composition cam.reconstruct(frame='w') ->
+        ref_cam.project(frame='w') (camera_utils.py:24-54). If the two
+        cameras carry the SAME non-identity world pose, the relative
+        transform is identity and the warp must return the image —
+        this fails if the target pose is silently dropped.
+        """
+        b, h, w = 1, 16, 20
+        K = make_K(b, cx=(w - 1) / 2, cy=(h - 1) / 2)
+        # a non-trivial rigid transform shared by both cameras
+        vec = jnp.asarray([[0.2, -0.1, 0.3, 0.05, -0.04, 0.03]], jnp.float32)
+        pose = Pose.from_vec(vec)
+        cam = Camera(K, Tcw=pose)
+        ref_cam = Camera(K, Tcw=pose)
+        img = jnp.asarray(RNG.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+        depth = jnp.full((b, h, w, 1), 5.0, jnp.float32)
+        warped = view_synthesis(img, depth, ref_cam, cam)
+        np.testing.assert_allclose(warped, img, atol=1e-4)
+
+    def test_warp_matches_reconstruct_project_composition(self):
+        """Planar view_synthesis == reconstruct(w) -> project(w) -> sample."""
+        from mgnet_tpu.geometry.image import grid_sample
+
+        b, h, w = 2, 16, 20
+        K = make_K(b, cx=(w - 1) / 2, cy=(h - 1) / 2)
+        cam_pose = Pose.from_vec(
+            jnp.asarray([[0.1, 0.0, -0.2, 0.02, 0.01, -0.03],
+                         [0.0, 0.2, 0.1, -0.01, 0.02, 0.00]], jnp.float32))
+        ref_pose = Pose.from_vec(
+            jnp.asarray([[-0.1, 0.05, 0.3, 0.01, -0.02, 0.02],
+                         [0.2, -0.1, 0.0, 0.00, 0.01, 0.01]], jnp.float32))
+        cam = Camera(K, Tcw=cam_pose)
+        ref_cam = Camera(K, Tcw=ref_pose)
+        img = jnp.asarray(RNG.uniform(0, 1, (b, h, w, 3)).astype(np.float32))
+        depth = jnp.asarray(RNG.uniform(3.0, 10.0, (b, h, w, 1)).astype(np.float32))
+        expected = grid_sample(
+            img, ref_cam.project(cam.reconstruct(depth, frame="w"), frame="w"))
+        got = view_synthesis(img, depth, ref_cam, cam)
+        np.testing.assert_allclose(got, expected, atol=1e-4)
+
 
 class TestGridSample:
     @pytest.mark.parametrize("padding_mode", ["zeros", "border"])
