@@ -1,0 +1,252 @@
+"""Golden activation parity: flax model vs a torch mirror of the
+reference architecture (tests/torch_mirror.py).
+
+The strongest accuracy-parity evidence obtainable without datasets: the
+mirror restates the reference graph (res_net.py:11-110, layers.py:22-322,
+mg_net.py:523-829) in eval-mode torch; identical randomized weights
+(convs + BN affine + RUNNING STATS) are grafted into the flax tree
+through the production key space (tools/convert_torchvision_weights.py
+layout), and activations must agree to <=1e-4 at every output — catching
+conv-padding, BN, activation, upsample-order and interpolation drift.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+
+import torch_mirror as tm  # tests/ is on sys.path under pytest
+from mgnet_tpu.utils.weights import flatten_params, unflatten_params
+
+RNG = np.random.RandomState(7)
+
+
+def graft(flat: dict, variables: dict, require_all: bool = True):
+    """Graft a flat 'path/leaf' numpy dict into flax variables.
+
+    Keys ending in /mean, /var go to batch_stats; the rest to params.
+    With require_all, every flax leaf must receive a torch value AND every
+    torch value must land — loud failure on any tree-shape drift.
+    """
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    pflat, sflat = flatten_params(params), flatten_params(stats)
+    new_p, new_s, missed = {}, {}, []
+    for k, v in flat.items():
+        target, dest = (sflat, new_s) if k.rsplit("/", 1)[-1] in (
+            "mean", "var") else (pflat, new_p)
+        if k in target and target[k].shape == v.shape:
+            dest[k] = v
+        else:
+            missed.append(k)
+    if require_all:
+        assert not missed, f"torch keys with no flax home: {missed[:8]}"
+        unmatched = (set(pflat) - set(new_p)) | (set(sflat) - set(new_s))
+        assert not unmatched, f"flax leaves left random: {sorted(unmatched)[:8]}"
+    return {
+        "params": unflatten_params(params, new_p),
+        "batch_stats": unflatten_params(stats, new_s),
+    }
+
+
+def to_torch(x_nhwc: np.ndarray) -> torch.Tensor:
+    return torch.from_numpy(np.ascontiguousarray(
+        x_nhwc.transpose(0, 3, 1, 2)))
+
+
+def t2n(y: torch.Tensor) -> np.ndarray:
+    """torch NCHW -> numpy NHWC."""
+    return y.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def assert_close(flax_out, torch_nchw, atol=1e-4, rtol=1e-4, what=""):
+    np.testing.assert_allclose(
+        np.asarray(flax_out), t2n(torch_nchw), atol=atol, rtol=rtol,
+        err_msg=f"activation drift in {what}")
+
+
+# ---------------------------------------------------------------------------
+# unit-level parity: localize drift to a single module
+# ---------------------------------------------------------------------------
+
+
+class TestUnitParity:
+    def _run(self, mirror, flax_module, x_np, seed=0, method=None):
+        tm.randomize_(mirror, seed)
+        variables = flax_module.init(
+            jax.random.PRNGKey(0), jnp.asarray(x_np), train=False)
+        variables = graft(mirror.flax_weights("m"), _strip(variables, "m"))
+        y = flax_module.apply(_wrap(variables, "m"), jnp.asarray(x_np),
+                              train=False)
+        with torch.no_grad():
+            yt = mirror(to_torch(x_np))
+        return y, yt
+
+    @pytest.mark.parametrize("hw", [(32, 48), (35, 49)])
+    def test_stem(self, hw):
+        """7x7/s2 + maxpool, even and odd sizes (stride-2 edge handling);
+        the odd size also exercises the non-s2d fallback conv path."""
+        from mgnet_tpu.models.resnet import BasicStem
+
+        x = RNG.randn(2, *hw, 3).astype(np.float32)
+        y, yt = self._run(tm.Stem(), BasicStem(), x)
+        assert_close(y, yt, what="stem")
+
+    @pytest.mark.parametrize("stride", [1, 2])
+    def test_basic_block(self, stride):
+        from mgnet_tpu.models.resnet import BasicBlock
+
+        x = RNG.randn(2, 16, 24, 32).astype(np.float32)
+        y, yt = self._run(
+            tm.BasicBlock(32, 64, stride), BasicBlock(64, stride=stride), x)
+        assert_close(y, yt, what=f"basic_block(s{stride})")
+
+    def test_basic_block_identity_shortcut(self):
+        from mgnet_tpu.models.resnet import BasicBlock
+
+        x = RNG.randn(2, 16, 24, 64).astype(np.float32)
+        y, yt = self._run(tm.BasicBlock(64, 64, 1), BasicBlock(64), x)
+        assert_close(y, yt, what="basic_block(identity)")
+
+    def test_gcm(self):
+        from mgnet_tpu.models.layers import GlobalContextModule
+
+        x = RNG.randn(2, 7, 11, 96).astype(np.float32)
+        y, yt = self._run(tm.GCM(96, 128), GlobalContextModule(128), x)
+        assert_close(y, yt, what="gcm")
+
+    def test_arm(self):
+        from mgnet_tpu.models.layers import AttentionRefinementModule
+
+        x = RNG.randn(2, 9, 13, 96).astype(np.float32)
+        y, yt = self._run(tm.ARM(96, 128),
+                          AttentionRefinementModule(128), x)
+        assert_close(y, yt, what="arm")
+
+    def test_ffm(self):
+        from mgnet_tpu.models.layers import FeatureFusionModule
+
+        mirror = tm.FFM(96 + 32, 64)
+        tm.randomize_(mirror, 3)
+        fsp = RNG.randn(2, 9, 13, 96).astype(np.float32)
+        fcp = RNG.randn(2, 9, 13, 32).astype(np.float32)
+        mod = FeatureFusionModule(64)
+        variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(fsp),
+                             jnp.asarray(fcp), train=False)
+        variables = graft(mirror.flax_weights("m"), _strip(variables, "m"))
+        y = mod.apply(_wrap(variables, "m"), jnp.asarray(fsp),
+                      jnp.asarray(fcp), train=False)
+        with torch.no_grad():
+            yt = mirror(to_torch(fsp), to_torch(fcp))
+        assert_close(y, yt, what="ffm")
+
+    def test_head(self):
+        from mgnet_tpu.models.layers import MGNetHead
+
+        x = RNG.randn(2, 9, 13, 64).astype(np.float32)
+        mirror = tm.Head(64, 48, 20)
+        tm.randomize_(mirror, 4)
+        mod = MGNetHead(48, 20)
+        variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x),
+                             train=False)
+        variables = graft(mirror.flax_weights("m"), _strip(variables, "m"))
+        y = mod.apply(_wrap(variables, "m"), jnp.asarray(x), train=False)
+        with torch.no_grad():
+            yt = mirror(to_torch(x))
+        assert_close(y, yt, what="mgnet_head")
+
+    def test_decoder(self):
+        """Full decoder over a synthetic pyramid incl. nearest upsamples
+        between non-multiple sizes (exercises reference layers.py:90)."""
+        from mgnet_tpu.models.layers import MGNetDecoder
+
+        feats_np = {
+            "res5": RNG.randn(2, 2, 4, 512).astype(np.float32),
+            "res4": RNG.randn(2, 4, 8, 256).astype(np.float32),
+            "res3": RNG.randn(2, 8, 16, 128).astype(np.float32),
+            "global_context": RNG.randn(2, 2, 4, 128).astype(np.float32),
+        }
+        mirror = tm.Decoder()
+        tm.randomize_(mirror, 5)
+        mod = MGNetDecoder()
+        fj = {k: jnp.asarray(v) for k, v in feats_np.items()}
+        variables = mod.init(jax.random.PRNGKey(0), fj, train=False)
+        variables = graft(mirror.flax_weights("m"), _strip(variables, "m"))
+        (y, msc) = mod.apply(_wrap(variables, "m"), fj, train=False)
+        with torch.no_grad():
+            yt, msct = mirror({k: to_torch(v) for k, v in feats_np.items()})
+        assert_close(y, yt, what="decoder.fused")
+        for i in range(2):
+            assert_close(msc[i], msct[i], what=f"decoder.msc{i}")
+
+
+def _strip(variables, name):
+    """Model init nests a named module's params under its class name when
+    initialized standalone? No — standalone init roots at the module
+    itself. This helper re-roots flat torch keys instead: mirror emits
+    'm/...' prefixes; wrap flax variables under 'm' so keys line up."""
+    return {
+        col: {name: tree} for col, tree in variables.items()
+    }
+
+
+def _wrap(variables, name):
+    return {col: tree[name] for col, tree in variables.items()}
+
+
+# ---------------------------------------------------------------------------
+# full-model parity
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def full_pair():
+    from mgnet_tpu.config import get_default_config
+    from mgnet_tpu.models.mgnet import build_model
+
+    mirror = tm.MGNetMirror()
+    tm.randomize_(mirror, 11)
+
+    cfg = get_default_config()
+    cfg.MODEL.COMPUTE_DTYPE = "float32"
+    # single depth head: the mirror provides the eval-path head only; the
+    # msc heads (train-only) are exercised by train tests elsewhere
+    cfg.MODEL.DEPTH_HEAD.MSC_LOSS = False
+    model = build_model(cfg)
+
+    b, h, w = 2, 64, 96
+    x = RNG.randn(b, h, w, 3).astype(np.float32)
+    # init through forward_train so the pose net's tree exists too
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(x),
+        jnp.asarray(x), method="forward_train")
+    variables = graft(mirror.flax_weights(), variables)
+    return mirror, model, variables, x
+
+
+class TestFullModelParity:
+    def test_eval_outputs(self, full_pair):
+        mirror, model, variables, x = full_pair
+        out = model.apply(variables, jnp.asarray(x), train=False)
+        with torch.no_grad():
+            ot = mirror(to_torch(x))
+        assert_close(out["sem_seg"], ot["sem_seg"], what="sem_seg logits")
+        assert_close(out["center"], ot["center"], what="center heatmap")
+        assert_close(out["offset"], ot["offset"], what="offset field")
+        assert_close(out["inv_depth"], ot["inv_depth"], what="inv_depth")
+        # reciprocal amplifies error; compare depth at relative tolerance
+        assert_close(out["depth"], ot["depth"], atol=1e-3, rtol=1e-3,
+                     what="depth")
+
+    def test_pose_outputs(self, full_pair):
+        mirror, model, variables, x = full_pair
+        cat = np.concatenate([x, x * 0.5, x * -0.25], axis=-1)
+        pose = model.apply(variables, jnp.asarray(cat), method="pose")
+        with torch.no_grad():
+            pt = mirror.pose_net(to_torch(cat))
+        np.testing.assert_allclose(
+            np.asarray(pose), pt.numpy(), atol=1e-5, rtol=1e-4,
+            err_msg="pose vector drift")
