@@ -283,6 +283,11 @@ def get_default_config() -> ConfigNode:
     c.SOLVER.BASE_LR = 0.0001
     c.SOLVER.MAX_ITER = 60000
     c.SOLVER.IMS_PER_BATCH = 12
+    # Split each global batch into k sequential micro-batches inside the
+    # jitted step (gradients averaged, optimizer applied once): runs the
+    # exact batch-12 flagship schedule on chips that fit only batch 12/k
+    # (reference trains batch 12 over 4 GPUs; see train/step.py).
+    c.SOLVER.GRAD_ACCUM_STEPS = 1
     c.SOLVER.LR_SCHEDULER_NAME = "WarmupPolyLR"
     c.SOLVER.POLY_LR_POWER = 0.9
     c.SOLVER.POLY_LR_CONSTANT_ENDING = 0.0

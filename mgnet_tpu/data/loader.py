@@ -79,6 +79,19 @@ class TrainLoader:
     Deterministic: worker i of epoch e maps sample j with an rng seeded
     from (seed, e, j) — re-running with the same seed reproduces batches
     (SURVEY.md §5 determinism).
+
+    Multi-process: with ``process_count > 1``, ``batch_size`` is the
+    GLOBAL batch; every process derives the same global sample stream
+    (identical seed) and maps ONLY its contiguous per-process slice of
+    each global batch, yielding local batches of
+    ``batch_size / process_count`` samples for
+    ``parallel.shard_batch`` to assemble into the global array — the
+    reference's per-rank sampler-shard semantics
+    (detectron2 build_detection_train_loader under DDP,
+    reference tools/train_net.py:89-97,241-248) without duplicate
+    mapper work. Note: local batches on different processes must collate
+    to identical spatial shapes (guaranteed with fixed-size crops, the
+    flagship config); global assembly fails loudly otherwise.
     """
 
     def __init__(
@@ -91,10 +104,19 @@ class TrainLoader:
         prefetch: int = 4,
         divisibility: int = 32,
         drop_keys: Sequence[str] = ("image_id",),
+        process_index: int = 0,
+        process_count: int = 1,
     ):
+        assert batch_size % max(1, process_count) == 0, (
+            f"global batch {batch_size} must divide over "
+            f"{process_count} processes"
+        )
         self.dataset = list(dataset)
         self.mapper = mapper
         self.batch_size = batch_size
+        self.local_batch = batch_size // max(1, process_count)
+        self.process_index = process_index
+        self.process_count = max(1, process_count)
         self.seed = seed
         self.num_workers = max(1, num_workers)
         self.prefetch = prefetch
@@ -113,8 +135,18 @@ class TrainLoader:
                 yield epoch, int(j)
             epoch += 1
 
+    def _local_indices(self) -> Iterator[tuple]:
+        """This process's slice of each global batch (identical global
+        stream on every process; slicing is a no-op single-process)."""
+        it = self._sample_indices()
+        lo = self.process_index * self.local_batch
+        hi = lo + self.local_batch
+        while True:
+            group = [next(it) for _ in range(self.batch_size)]
+            yield from group[lo:hi]
+
     def _producer(self):
-        idx_iter = self._sample_indices()
+        idx_iter = self._local_indices()
         with ThreadPoolExecutor(self.num_workers) as pool:
             def map_one(args):
                 epoch, j = args
@@ -128,10 +160,10 @@ class TrainLoader:
 
             pending = []
             while not self._stop.is_set():
-                while len(pending) < self.batch_size * 2:
+                while len(pending) < self.local_batch * 2:
                     pending.append(pool.submit(map_one, next(idx_iter)))
-                samples = [f.result() for f in pending[: self.batch_size]]
-                pending = pending[self.batch_size:]
+                samples = [f.result() for f in pending[: self.local_batch]]
+                pending = pending[self.local_batch:]
                 batch = collate_batch(samples, self.divisibility)
                 while not self._stop.is_set():
                     try:

@@ -3,6 +3,7 @@ from mgnet_tpu.parallel.mesh import (
     MODEL_AXIS,
     batch_sharding,
     create_mesh,
+    replicate_to_mesh,
     replicated_sharding,
     shard_batch,
 )
@@ -18,6 +19,7 @@ __all__ = [
     "MODEL_AXIS",
     "create_mesh",
     "batch_sharding",
+    "replicate_to_mesh",
     "replicated_sharding",
     "shard_batch",
     "initialize_distributed",

@@ -31,6 +31,7 @@ __all__ = [
     "batch_sharding",
     "replicated_sharding",
     "shard_batch",
+    "replicate_to_mesh",
 ]
 
 
@@ -58,8 +59,40 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """Place a host batch onto the mesh, batch-dim sharded on 'data'."""
+    """Place a host batch onto the mesh, batch-dim sharded on 'data'.
+
+    Single process: a plain device_put of the full global batch.
+    Multi-process (multi-host): ``batch`` is this process's LOCAL slice
+    (global_batch / process_count samples, produced by TrainLoader's
+    per-process sampling); the global array is assembled with
+    ``jax.make_array_from_process_local_data`` so each host only ever
+    materializes its own shard — the reference's per-rank DDP batch
+    semantics (reference tools/train_net.py:241-248) without duplicate
+    mapper work.
+    """
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
+
+
+def replicate_to_mesh(mesh: Mesh, tree: Any) -> Any:
+    """Replicate host values onto every device of a (possibly multi-host)
+    mesh. Values must be identical on all processes (e.g. the train state
+    initialized from the same PRNG key)."""
+    sharding = replicated_sharding(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+
+    def rep(x):
+        x = np.asarray(x)
+        return jax.make_array_from_callback(
+            x.shape, sharding, lambda idx: x[idx])
+
+    return jax.tree_util.tree_map(rep, tree)

@@ -34,7 +34,13 @@ from mgnet_tpu.evaluation import (
 from mgnet_tpu.geometry.image import interpolate_bilinear
 from mgnet_tpu.inference.fused import statics_from_meta
 from mgnet_tpu.models.mgnet import build_model
-from mgnet_tpu.parallel import create_mesh, replicated_sharding, shard_batch
+from mgnet_tpu.parallel import (
+    create_mesh,
+    is_main_process,
+    replicate_to_mesh,
+    shard_batch,
+    synchronize,
+)
 from mgnet_tpu.postprocessing import depth_postprocess, panoptic_fusion
 from mgnet_tpu.train.state import create_train_state
 from mgnet_tpu.train.step import make_eval_step, make_train_step
@@ -56,16 +62,16 @@ class Trainer:
         crop = cfg.INPUT.CROP.SIZE if cfg.INPUT.CROP.ENABLED else (512, 512)
         n_dev = self.mesh.devices.size
         batch = cfg.SOLVER.IMS_PER_BATCH
-        assert batch % n_dev == 0, (
-            f"IMS_PER_BATCH={batch} must divide over {n_dev} devices"
+        accum = max(1, int(cfg.SOLVER.GRAD_ACCUM_STEPS))
+        assert batch % (n_dev * accum) == 0, (
+            f"IMS_PER_BATCH={batch} must divide over {n_dev} devices x "
+            f"{accum} GRAD_ACCUM_STEPS micro-batches"
         )
         self.state = create_train_state(
             cfg, self.model, jax.random.PRNGKey(cfg.SEED),
             sample_shape=(batch, crop[0], crop[1], 3),
         )
-        self.state = jax.device_put(
-            self.state, replicated_sharding(self.mesh)
-        )
+        self.state = replicate_to_mesh(self.mesh, self.state)
         self.train_step = jax.jit(make_train_step(cfg, self.model),
                                   donate_argnums=(0,))
         self.ckpt = CheckpointManager(
@@ -76,11 +82,15 @@ class Trainer:
         dataset_name = cfg.DATASETS.TRAIN[0]
         dataset = DatasetCatalog.get(dataset_name)
         mapper = TrainDatasetMapper(cfg, dataset_name=dataset_name)
+        # per-process dataset sharding: each host maps only its slice of
+        # every global batch; shard_batch assembles the global array
         self.loader = TrainLoader(
             dataset, mapper, batch_size=batch, seed=cfg.SEED,
             num_workers=cfg.DATALOADER.NUM_WORKERS,
             prefetch=cfg.DATALOADER.PREFETCH,
             divisibility=cfg.MODEL.SIZE_DIVISIBILITY,
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
 
     def resume_or_load(self, resume: bool = True):
@@ -139,7 +149,11 @@ class Trainer:
                 t_last = time.time()
                 self.logger.log(i + 1, host)
             if (i + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0 or i + 1 == max_iter:
-                self.ckpt.save(i + 1, self.state)
+                # replicated arrays are fully addressable on every host;
+                # rank 0 alone persists them (reference rank-0 writes)
+                if is_main_process():
+                    self.ckpt.save(i + 1, self.state)
+                synchronize()
             if cfg.TEST.EVAL_PERIOD > 0 and (i + 1) % cfg.TEST.EVAL_PERIOD == 0:
                 results = self.test()
                 flat = {
@@ -152,11 +166,13 @@ class Trainer:
         # model_final analog); restored by utils.checkpoint.load_params
         from mgnet_tpu.utils.checkpoint import save_params
 
-        save_params(
-            os.path.join(self.output_dir, "model_final"),
-            jax.device_get(self.state.params),
-            jax.device_get(self.state.batch_stats),
-        )
+        if is_main_process():
+            save_params(
+                os.path.join(self.output_dir, "model_final"),
+                jax.device_get(self.state.params),
+                jax.device_get(self.state.batch_stats),
+            )
+        synchronize()
         self.loader.close()
 
     def test(self) -> Dict[str, Dict[str, float]]:
@@ -291,7 +307,17 @@ def evaluate_dataset(cfg, model, params, batch_stats,
     need_probs = instances_out is not None
 
     def run_device_batch(imgs, cams, cam_hs, h2, w2, height, width):
-        """One batched forward + on-device postproc; one D2H per batch."""
+        """One batched forward + on-device postproc; one D2H per batch.
+
+        Outputs are compacted on-device before the fetch (sem fits uint8,
+        panoptic ids fit int16 — max 19*1000+128, void=-1 — heatmap/
+        depth/probs travel f16) and upcast on the host: the eval loop is
+        D2H-bound through the TPU relay (~50 MB/image uncompacted,
+        BENCH_NOTES §Evaluation), and host-side metric math stays f32/
+        int32 exact. f16 depth: relative step 2^-11 ≈ 5e-4, far below
+        metric reporting precision; +inf (sky at inv->0) upcasts to inf
+        and is masked by the [min,max] depth range as before.
+        """
         out = eval_step(params, batch_stats, jnp.asarray(imgs))
 
         def to_full(x):
@@ -308,15 +334,15 @@ def evaluate_dataset(cfg, model, params, batch_stats,
                 sem_logits.transpose(0, 3, 1, 2), axis=1
             ).astype(jnp.int32)
             pan = fuse_batch(sem, center[..., 0], offset)
-            res["sem"] = sem
-            res["pan"] = pan
-            res["center"] = center[..., 0]
+            res["sem"] = sem.astype(jnp.uint8)
+            res["pan"] = pan.astype(jnp.int16)
+            res["center"] = center[..., 0].astype(jnp.float16)
             if need_probs:
                 res["probs"] = (
                     sem_logits  # TTA path: already averaged probabilities
                     if cfg.TEST.MSC_FLIP_EVAL
                     else jax.nn.softmax(sem_logits, axis=-1)
-                )
+                ).astype(jnp.float16)
         if cfg.WITH_DEPTH:
             depth = to_full(out["depth"].astype(jnp.float32))
             dpp, _ = depth_postprocess(
@@ -328,8 +354,11 @@ def evaluate_dataset(cfg, model, params, batch_stats,
                 road_class_id=statics.road_class_id,
                 filter_class_ids=statics.depth_filter_ids,
             )
-            res["depth"] = dpp
-        return jax.device_get(res)
+            res["depth"] = dpp.astype(jnp.float16)
+        host = jax.device_get(res)
+        upcast = {"sem": np.int32, "pan": np.int32, "center": np.float32,
+                  "probs": np.float32, "depth": np.float32}
+        return {k: v.astype(upcast.get(k, v.dtype)) for k, v in host.items()}
 
     def process_one(sample_idx, d, sample, res, i):
         """Host-side GT loading + evaluator accumulation for one sample."""

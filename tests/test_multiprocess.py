@@ -105,3 +105,56 @@ def test_two_process_evaluator_gather():
                                    err_msg=f"depth {k}")
     # PQ over 2 images with one imperfect shard: strictly between 0 and 100
     assert 0 < merged["panoptic"]["PQ"] < 100
+
+
+def test_two_process_train_step_matches_single_process():
+    """2-process training (per-process local batches assembled via
+    make_array_from_process_local_data) must produce the same metrics,
+    parameters and BN statistics as a single process feeding the full
+    global batch over the same 4-device mesh (VERDICT r2 #3; reference
+    DDP launch semantics, tools/train_net.py:241-248)."""
+    import re
+
+    worker = os.path.join(HERE, "_mp_train_worker.py")
+    env = _clean_env()
+    # 2 local CPU devices per process -> 4 global devices
+    env["XLA_FLAGS"] = (env["XLA_FLAGS"] +
+                        " --xla_force_host_platform_device_count=2").strip()
+
+    def run_case(nprocs):
+        port = _free_port()
+        if nprocs == 1:
+            e1 = dict(env)
+            e1["XLA_FLAGS"] = re.sub(
+                r"--xla_force_host_platform_device_count=\d+",
+                "--xla_force_host_platform_device_count=4",
+                e1["XLA_FLAGS"])
+            procs = [subprocess.Popen(
+                [sys.executable, worker, "0", "1", str(port)],
+                env=e1, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True)]
+        else:
+            procs = [subprocess.Popen(
+                [sys.executable, worker, str(rank), "2", str(port)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True) for rank in (0, 1)]
+        outs = [p.communicate(timeout=900)[0] for p in procs]
+        for p, out in zip(procs, outs):
+            assert p.returncode == 0, f"worker failed:\n{out}"
+        line = next(l for l in outs[0].splitlines()
+                    if l.startswith("RESULT "))
+        return json.loads(line[len("RESULT "):])
+
+    multi = run_case(2)
+    single = run_case(1)
+
+    for k, v in single["metrics"].items():
+        np.testing.assert_allclose(
+            multi["metrics"][k], v, rtol=1e-5, atol=1e-6,
+            err_msg=f"metric {k} diverged between 1- and 2-process runs")
+    np.testing.assert_allclose(
+        multi["param_checksum"], single["param_checksum"], rtol=1e-6,
+        err_msg="updated parameters diverged")
+    np.testing.assert_allclose(
+        multi["stats_checksum"], single["stats_checksum"], rtol=1e-6,
+        err_msg="BN statistics diverged (sync-BN broken under multihost)")

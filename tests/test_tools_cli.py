@@ -1,10 +1,17 @@
-"""Smoke tests: every CLI tool parses --help (imports resolve)."""
+"""CLI tool tests: --help for every tool, plus the full runbook chain
+(prepare -> init -> train -> eval via run_pipeline --smoke) and real
+demo/export drives on the artifacts it produces (VERDICT r2 #6 — the
+turnkey path must be CI-backed, reference GETTING_STARTED.md:32-56)."""
 
+import json
 import os
 import subprocess
 import sys
 
+import numpy as np
 import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 TOOLS = [
     "tools/train_net.py",
@@ -16,17 +23,91 @@ TOOLS = [
     "tools/bench_train.py",
     "tools/bench_dataloader.py",
     "tools/profile_inference.py",
+    "tools/run_pipeline.py",
     "datasets/prepare_cityscapes.py",
     "datasets/prepare_kitti_eigen.py",
 ]
 
 
+def _cpu_env():
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # single CPU device is enough; drop the pytest 8-device override to
+    # keep subprocess compiles fast
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    return env
+
+
+def _run(cmd, timeout):
+    r = subprocess.run(
+        cmd, capture_output=True, timeout=timeout, env=_cpu_env(),
+        cwd=REPO, text=True,
+    )
+    assert r.returncode == 0, (
+        f"{' '.join(cmd)} failed:\n{r.stdout[-3000:]}\n{r.stderr[-3000:]}"
+    )
+    return r
+
+
 @pytest.mark.parametrize("tool", TOOLS)
 def test_help(tool):
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    r = subprocess.run(
-        [sys.executable, tool, "--help"],
-        capture_output=True, timeout=120, env=env,
-        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    _run([sys.executable, tool, "--help"], timeout=120)
+
+
+@pytest.mark.slow
+def test_runbook_chain(tmp_path):
+    """The complete turnkey chain on synthetic data, then demo and export
+    driven on its real artifacts. One test so the expensive smoke
+    training run is shared."""
+    data = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    weights = str(tmp_path / "weights")
+
+    r = _run(
+        [sys.executable, "tools/run_pipeline.py", "--smoke",
+         "--data-root", data, "--output-dir", out,
+         "--weights-dir", weights],
+        timeout=1800,
     )
-    assert r.returncode == 0, r.stderr.decode()[-2000:]
+    assert "PIPELINE OK" in r.stdout
+    model_final = os.path.join(out, "model_final")
+    assert os.path.exists(model_final), "pipeline left no model_final"
+    metrics_file = os.path.join(out, "metrics.json")
+    assert os.path.exists(metrics_file)
+    last = json.loads(open(metrics_file).read().strip().splitlines()[-1])
+    assert last, "metrics.json empty"
+
+    # demo on a real image from the synthetic dataset
+    import glob
+
+    imgs = sorted(glob.glob(os.path.join(
+        data, "cityscapes", "leftImg8bit", "val", "*", "*_leftImg8bit.png")))
+    assert imgs, "smoke dataset has no val images"
+    demo_out = str(tmp_path / "demo")
+    _run(
+        [sys.executable, "tools/demo.py",
+         "--config-file", "configs/MGNet-Cityscapes-Fine.yaml",
+         "--input", imgs[0], "--output", demo_out,
+         "--weights", model_final,
+         "MODEL.COMPUTE_DTYPE", "float32",
+         "INPUT.MIN_SIZE_TEST", "128", "INPUT.MAX_SIZE_TEST", "256"],
+        timeout=900,
+    )
+    produced = os.listdir(demo_out)
+    assert any(p.endswith(".png") or p.endswith(".jpg") for p in produced), (
+        f"demo wrote no images: {produced}"
+    )
+
+    # AOT export of the fused pipeline at tiny size + on-host verify
+    exp_out = str(tmp_path / "export")
+    _run(
+        [sys.executable, "tools/export_inference.py",
+         "--config-file", "configs/MGNet-Cityscapes-Fine.yaml",
+         "--weights", model_final, "--output", exp_out,
+         "--height", "128", "--width", "256",
+         "MODEL.COMPUTE_DTYPE", "float32"],
+        timeout=900,
+    )
+    assert os.listdir(exp_out), "export produced no artifacts"

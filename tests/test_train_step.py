@@ -80,6 +80,44 @@ class TestTrainStep:
         after = np.asarray(state.params["log_vars"])
         assert not np.allclose(before, after)
 
+    def test_grad_accum_exactness(self):
+        """GRAD_ACCUM_STEPS=2 on a duplicated batch must produce the same
+        parameter update and metrics as one step on the un-duplicated
+        half: identical micro-batches give identical micro-gradients, so
+        their average equals either one (VERDICT r2 #4 — exact
+        batch-12-schedule semantics on fewer chips)."""
+        cfg = tiny_cfg()
+        cfg.SOLVER.GRAD_ACCUM_STEPS = 2
+        model = build_model(cfg)
+        state = create_train_state(
+            cfg, model, jax.random.PRNGKey(0), sample_shape=(2, 64, 64, 3)
+        )
+        b2 = make_batch(cfg, b=2)
+        b4 = {k: jnp.concatenate([v, v], axis=0) for k, v in b2.items()}
+        step_acc = jax.jit(make_train_step(cfg, model))
+        cfg1 = tiny_cfg()
+        step_one = jax.jit(make_train_step(cfg1, model))
+
+        s_acc, m_acc = step_acc(state, b4)
+        s_one, m_one = step_one(state, b2)
+
+        for k in m_one:
+            np.testing.assert_allclose(
+                float(m_acc[k]), float(m_one[k]), rtol=1e-5, atol=1e-6,
+                err_msg=f"metric {k} diverged under grad accumulation")
+        for (pa, a), (pb, b) in zip(
+            sorted(jax.tree_util.tree_flatten_with_path(
+                jax.device_get(s_acc.params))[0],
+                key=lambda kv: str(kv[0])),
+            sorted(jax.tree_util.tree_flatten_with_path(
+                jax.device_get(s_one.params))[0],
+                key=lambda kv: str(kv[0])),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+                err_msg=f"param {pa} diverged under grad accumulation")
+        assert int(s_acc.step) == int(s_one.step) == 1
+
 
 class TestMultiDevice:
     def test_data_parallel_train_step(self):

@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    from mgnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     from PIL import Image
 
     from mgnet_tpu.data import native

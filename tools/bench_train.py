@@ -19,6 +19,9 @@ import jax.numpy as jnp
 
 
 def main():
+    from mgnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=4)
     p.add_argument("--size", type=int, default=1024)

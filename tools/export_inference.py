@@ -17,6 +17,9 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    from mgnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     import jax
     import jax.numpy as jnp
 

@@ -24,6 +24,9 @@ def trainid_to_dataset_id_map(categories):
 
 
 def main():
+    from mgnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("--config-file", required=True)
     p.add_argument("--dataset", default="cityscapes_scene_seg_train_video_sequence")

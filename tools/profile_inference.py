@@ -32,6 +32,9 @@ def bench(fn, args, iters=30, name=""):
 
 
 def main():
+    from mgnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     import argparse
 
     parser = argparse.ArgumentParser(

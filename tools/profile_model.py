@@ -45,6 +45,9 @@ def chained(step_fn, iters=30, warmup=5):
 
 
 def main():
+    from mgnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("--h", type=int, default=1024)
     p.add_argument("--w", type=int, default=2048)

@@ -173,6 +173,9 @@ def stage_eval(args, model_final):
 
 
 def main():
+    from mgnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("--data-root", default="./datasets")
     p.add_argument("--weights-dir", default="./weights")

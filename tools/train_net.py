@@ -60,6 +60,9 @@ def register_datasets(args):
 
 
 def main():
+    from mgnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config-file", default="", metavar="FILE")
     parser.add_argument("--eval-only", action="store_true")

@@ -243,6 +243,9 @@ def run_ablation(mode: str, steps: int) -> int:
 
 
 def main():
+    from mgnet_tpu.utils.platform import apply_platform_env
+
+    apply_platform_env()
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=800)
     p.add_argument("--lr", type=float, default=2e-4)
