@@ -358,6 +358,10 @@ def get_default_config() -> ConfigNode:
     # evaluation batch size per process (size-bucketed; detectron2
     # inference_on_dataset analog). TTA (MSC_FLIP_EVAL) forces 1.
     c.TEST.IMS_PER_BATCH = 4
+    # TTA (MSC_FLIP_EVAL) batch: the flip pair already doubles the device
+    # batch and the 2.0x scale octuples pixel count, so this defaults
+    # conservatively; raise it on chips with headroom.
+    c.TEST.TTA_IMS_PER_BATCH = 1
 
     # ---------------- TPU-native: mesh / parallelism ----------------
     c.MESH = ConfigNode()

@@ -162,22 +162,12 @@ def match_scales(image: jnp.ndarray, shapes: list[tuple[int, int]]) -> list[jnp.
     return [interpolate_bilinear(image, s) for s in shapes]
 
 
-@partial(jax.jit, static_argnames=("padding_mode",))
-def grid_sample(image: jnp.ndarray, coords: jnp.ndarray,
-                padding_mode: str = "zeros") -> jnp.ndarray:
-    """Bilinear sampling of ``image`` at normalized ``coords``.
-
-    Parity: torch F.grid_sample(mode='bilinear', align_corners=True)
-    (reference: mgnet/geometry/camera_utils.py:52-54).
-
-    Args:
-        image: [B, H, W, C]
-        coords: [B, H', W', 2], normalized to [-1, 1], channel order (x, y).
-        padding_mode: 'zeros' or 'border'.
-
-    Returns:
-        [B, H', W', C] sampled image.
-    """
+def _grid_sample_core(image: jnp.ndarray, coords: jnp.ndarray,
+                      padding_mode: str, want_grads: bool):
+    """Shared forward math: bilinear sample + (optionally) the spatial
+    derivative fields d(out)/d(coord_x), d(out)/d(coord_y) in NORMALIZED
+    coordinate units. The derivative fields are exact byproducts of the
+    corner values and make the custom backward pass gather-free."""
     b, h, w, c = image.shape
     _, oh, ow, _ = coords.shape
     x = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
@@ -217,26 +207,124 @@ def grid_sample(image: jnp.ndarray, coords: jnp.ndarray,
     v10 = gather(y1c, x0c)
     v11 = gather(y1c, x1c)
 
-    out = (v00 * (wy0 * wx0)[..., None] + v01 * (wy0 * wx1)[..., None]
-           + v10 * (wy1 * wx0)[..., None] + v11 * (wy1 * wx1)[..., None])
-
     if padding_mode == "zeros":
-        # torch zero-pads per corner: a corner outside the image contributes 0.
+        # torch zero-pads per corner: a corner outside the image
+        # contributes 0 (both to the value and to the derivatives).
         def inb_x(v):
             return (v >= 0) & (v <= w - 1)
 
         def inb_y(v):
             return (v >= 0) & (v <= h - 1)
 
-        m00 = (inb_y(y0) & inb_x(x0)).astype(image.dtype)
-        m01 = (inb_y(y0) & inb_x(x1)).astype(image.dtype)
-        m10 = (inb_y(y1) & inb_x(x0)).astype(image.dtype)
-        m11 = (inb_y(y1) & inb_x(x1)).astype(image.dtype)
-        out = (v00 * (wy0 * wx0 * m00)[..., None]
-               + v01 * (wy0 * wx1 * m01)[..., None]
-               + v10 * (wy1 * wx0 * m10)[..., None]
-               + v11 * (wy1 * wx1 * m11)[..., None])
+        dt = image.dtype
+        v00 = v00 * (inb_y(y0) & inb_x(x0)).astype(dt)[..., None]
+        v01 = v01 * (inb_y(y0) & inb_x(x1)).astype(dt)[..., None]
+        v10 = v10 * (inb_y(y1) & inb_x(x0)).astype(dt)[..., None]
+        v11 = v11 * (inb_y(y1) & inb_x(x1)).astype(dt)[..., None]
     elif padding_mode != "border":
         raise ValueError(f"Unsupported padding_mode: {padding_mode}")
 
+    out = (v00 * (wy0 * wx0)[..., None] + v01 * (wy0 * wx1)[..., None]
+           + v10 * (wy1 * wx0)[..., None] + v11 * (wy1 * wx1)[..., None])
+    if not want_grads:
+        return out, None, None
+
+    # d out / d x_pix = wy0*(v01-v00) + wy1*(v11-v10); chain the
+    # normalized->pixel factor (w-1)/2 in now so the backward pass needs
+    # no shape information. In border mode the clipped corners coincide
+    # at the boundary (v01==v00), so the derivative vanishes there —
+    # matching the a.e. gradient of the clamp.
+    sx = (w - 1) * 0.5
+    sy = (h - 1) * 0.5
+    gx = (wy0[..., None] * (v01 - v00) + wy1[..., None] * (v11 - v10)) * sx
+    gy = (wx0[..., None] * (v10 - v00) + wx1[..., None] * (v11 - v01)) * sy
+    return out, gx, gy
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def grid_sample(image: jnp.ndarray, coords: jnp.ndarray,
+                padding_mode: str = "zeros") -> jnp.ndarray:
+    """Bilinear sampling of ``image`` at normalized ``coords``.
+
+    Parity: torch F.grid_sample(mode='bilinear', align_corners=True)
+    (reference: mgnet/geometry/camera_utils.py:52-54).
+
+    Custom VJP (the TPU gather is the training-step floor — BENCH_NOTES
+    §Training): the forward also evaluates the exact spatial derivative
+    fields gx, gy as elementwise byproducts of the already-gathered
+    corner values; the backward w.r.t. ``coords`` is then PURE
+    elementwise math (sum_c g*gx) — no re-gather, no 4-corner residual
+    tensors. The image cotangent (4 scatter-adds) is only built when a
+    caller actually differentiates w.r.t. the sampled image; in the
+    photometric loss the context frames are data, so XLA removes it.
+
+    Args:
+        image: [B, H, W, C]
+        coords: [B, H', W', 2], normalized to [-1, 1], channel order (x, y).
+        padding_mode: 'zeros' or 'border'.
+
+    Returns:
+        [B, H', W', C] sampled image.
+    """
+    out, _, _ = _grid_sample_core(image, coords, padding_mode, False)
     return out
+
+
+def _grid_sample_fwd(image, coords, padding_mode):
+    out, gx, gy = _grid_sample_core(image, coords, padding_mode, True)
+    return out, (gx, gy, image, coords)
+
+
+def _grid_sample_bwd(padding_mode, res, g):
+    gx, gy, image, coords = res
+    g = g.astype(gx.dtype)
+    # coords cotangent: elementwise contraction with the saved fields
+    dx = jnp.sum(g * gx, axis=-1)
+    dy = jnp.sum(g * gy, axis=-1)
+    dcoords = jnp.stack([dx, dy], axis=-1).astype(coords.dtype)
+
+    # image cotangent: scatter-add of the weighted upstream cotangent at
+    # the 4 corner sites. Dead code (eliminated by XLA) whenever the
+    # caller does not differentiate w.r.t. the image — the standard case
+    # here (context frames are inputs, not parameters). Weights/indices
+    # are recomputed inline (pure elementwise) so no gather can appear
+    # in the backward graph.
+    b, h, w, c = image.shape
+    x = (coords[..., 0] + 1.0) * 0.5 * (w - 1)
+    y = (coords[..., 1] + 1.0) * 0.5 * (h - 1)
+    x0, y0 = jnp.floor(x), jnp.floor(y)
+    x1, y1 = x0 + 1.0, y0 + 1.0
+    wx1, wy1 = x - x0, y - y0
+    wx0, wy0 = 1.0 - wx1, 1.0 - wy1
+    x0c = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+    x1c = jnp.clip(x1, 0, w - 1).astype(jnp.int32)
+    y0c = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+    y1c = jnp.clip(y1, 0, h - 1).astype(jnp.int32)
+    if padding_mode == "zeros":
+        def inb(vx, vy):
+            return ((vx >= 0) & (vx <= w - 1)
+                    & (vy >= 0) & (vy <= h - 1)).astype(gx.dtype)
+
+        m00, m01 = inb(x0, y0), inb(x1, y0)
+        m10, m11 = inb(x0, y1), inb(x1, y1)
+    else:
+        one = jnp.ones_like(wx0)
+        m00 = m01 = m10 = m11 = one
+    dimg = jnp.zeros((b, h * w, c), gx.dtype)
+    gf = g.reshape(b, -1, c)
+
+    def scat(acc, yi, xi, wgt):
+        idx = (yi * w + xi).reshape(b, -1)
+        return acc.at[
+            jnp.arange(b)[:, None], idx
+        ].add(gf * wgt.reshape(b, -1)[..., None])
+
+    dimg = scat(dimg, y0c, x0c, wy0 * wx0 * m00)
+    dimg = scat(dimg, y0c, x1c, wy0 * wx1 * m01)
+    dimg = scat(dimg, y1c, x0c, wy1 * wx0 * m10)
+    dimg = scat(dimg, y1c, x1c, wy1 * wx1 * m11)
+    dimage = dimg.reshape(b, h, w, c).astype(image.dtype)
+    return dimage, dcoords
+
+
+grid_sample.defvjp(_grid_sample_fwd, _grid_sample_bwd)

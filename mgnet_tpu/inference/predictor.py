@@ -12,6 +12,7 @@ the align-corners bilinear matmul resize.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Optional
 
 import jax.numpy as jnp
@@ -35,12 +36,31 @@ class Predictor:
         self.cfg = cfg
         self.model = build_model(cfg)
         if params is None:
-            if checkpoint_path or cfg.MODEL.WEIGHTS:
+            path = checkpoint_path or cfg.MODEL.WEIGHTS
+            if path and not os.path.isfile(path) and os.path.isfile(
+                    path + ".npz"):
+                path = path + ".npz"  # suffix-tolerant, as in the trainer
+            if path and path.endswith(".npz"):
+                # ImageNet-init npz (flagship configs' MODEL.WEIGHTS):
+                # random init + grafting, the trainer's resume_or_load
+                # semantics — orbax restore would choke on a flat npz
+                from mgnet_tpu.utils.weights import load_pretrained_npz
+
+                dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
+                variables = self.model.init(
+                    jax.random.PRNGKey(0), dummy, train=False
+                )
+                params = {"model": variables["params"]}
+                batch_stats = variables.get("batch_stats", {})
+                params, batch_stats, info = load_pretrained_npz(
+                    path, params, batch_stats)
+                if info["matched"] == 0:
+                    raise ValueError(
+                        f"weights {path!r} matched zero leaves ({info})")
+            elif path:
                 from mgnet_tpu.utils.checkpoint import load_params
 
-                params, batch_stats = load_params(
-                    checkpoint_path or cfg.MODEL.WEIGHTS
-                )
+                params, batch_stats = load_params(path)
             else:
                 dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
                 variables = self.model.init(
@@ -168,3 +188,27 @@ class Predictor:
             **kwargs,
         )
         return {k: np.asarray(v[0]) for k, v in out.items()}
+
+    def predict_batch(self, images_resized: np.ndarray,
+                      camera_matrix: Optional[np.ndarray] = None,
+                      camera_height: Optional[np.ndarray] = None) -> Dict:
+        """Batched raw-path inference on pre-resized images.
+
+        Args:
+            images_resized: [B, H, W, 3] float32, already mapper-resized
+                to a common shape (e.g. the fixed-size video-sequence
+                frames in pseudo-label generation — reference DDP batched
+                loader, generate_pseudo_labels.py:40-64).
+        Returns dict of [B, ...] numpy arrays.
+        """
+        kwargs = {}
+        if camera_matrix is not None:
+            kwargs["camera_matrix"] = jnp.asarray(camera_matrix)
+            kwargs["camera_height"] = jnp.asarray(
+                camera_height if camera_height is not None
+                else np.ones((images_resized.shape[0],), np.float32))
+        out = self.fused(
+            self.params, self.batch_stats, jnp.asarray(images_resized),
+            **kwargs,
+        )
+        return {k: np.asarray(v) for k, v in out.items()}

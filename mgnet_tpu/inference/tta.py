@@ -54,45 +54,51 @@ def multi_scale_flip_inference(
     for scale in scales:
         sh, sw = int(h * scale), int(w * scale)
         x = interpolate_bilinear(norm_images, (sh, sw))
-        for flipped in range(2 if flip else 1):
-            xi = x[:, :, ::-1, :] if flipped else x
-            out = model.apply(variables, xi, train=False, upsample=False)
-            n_passes += 1
-            if with_panoptic:
-                r = interpolate_bilinear(
-                    out["sem_seg"].astype(jnp.float32), (h, w)
-                )
-                r = jnp.exp(
-                    r - jnp.max(r, axis=-1, keepdims=True)
-                )
-                r = r / jnp.sum(r, axis=-1, keepdims=True)
-                c = interpolate_bilinear(
-                    out["center"].astype(jnp.float32), (h, w)
-                )
-                o = interpolate_bilinear(
-                    out["offset"].astype(jnp.float32), (h, w)
-                ) * (common_stride / scale)
-                if flipped:
-                    r = r[:, :, ::-1, :]
-                    c = c[:, :, ::-1, :]
-                    o = o[:, :, ::-1, :]
-                    o = o.at[..., 1].multiply(-1.0)  # negate x-offsets
-                acc("sem_seg", r)
-                acc("center", c)
-                acc("offset", o)
-            if with_depth:
-                # eval path returns depth = 1/inv_depth at head resolution;
-                # recover the raw inverse-depth prediction, interpolate it
-                # at full res, then invert — matching the reference, which
-                # interpolates the head logits before inv2depth
-                # (mg_net.py:497-506).
-                inv = 1.0 / jnp.clip(
-                    out["depth"].astype(jnp.float32), min=1e-6
-                )
-                d_full = inv2depth(interpolate_bilinear(inv, (h, w)))
-                if flipped:
-                    d_full = d_full[:, :, ::-1, :]
-                acc("depth", d_full)
+        # flip pair batched into ONE forward ([2B, ...]): halves the pass
+        # count (14 -> 7) and feeds the MXU bigger batches at small
+        # scales. Numerically identical to two passes — eval-mode BN is
+        # batch-independent, and hflip commutes with the (reversal-
+        # symmetric) align-corners upsample, so unflipping after the
+        # full-res interpolation matches the reference's per-pass order
+        # (mg_net.py:461-520).
+        xi = jnp.concatenate([x, x[:, :, ::-1, :]], axis=0) if flip else x
+        out = model.apply(variables, xi, train=False, upsample=False)
+        n_passes += 2 if flip else 1
+
+        def unflip_add(t, negate_x=False):
+            if not flip:
+                return t
+            tf = t[b:, :, ::-1]
+            if negate_x:
+                tf = tf.at[..., 1].multiply(-1.0)  # negate x-offsets
+            return t[:b] + tf
+
+        if with_panoptic:
+            r = interpolate_bilinear(
+                out["sem_seg"].astype(jnp.float32), (h, w)
+            )
+            r = jnp.exp(r - jnp.max(r, axis=-1, keepdims=True))
+            r = r / jnp.sum(r, axis=-1, keepdims=True)
+            c = interpolate_bilinear(
+                out["center"].astype(jnp.float32), (h, w)
+            )
+            o = interpolate_bilinear(
+                out["offset"].astype(jnp.float32), (h, w)
+            ) * (common_stride / scale)
+            acc("sem_seg", unflip_add(r))
+            acc("center", unflip_add(c))
+            acc("offset", unflip_add(o, negate_x=True))
+        if with_depth:
+            # eval path returns depth = 1/inv_depth at head resolution;
+            # recover the raw inverse-depth prediction, interpolate it
+            # at full res, then invert — matching the reference, which
+            # interpolates the head logits before inv2depth
+            # (mg_net.py:497-506).
+            inv = 1.0 / jnp.clip(
+                out["depth"].astype(jnp.float32), min=1e-6
+            )
+            d_full = inv2depth(interpolate_bilinear(inv, (h, w)))
+            acc("depth", unflip_add(d_full))
 
     n = len(scales) * (2 if flip else 1)
     result = {}

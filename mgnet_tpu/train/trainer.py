@@ -285,10 +285,12 @@ def evaluate_dataset(cfg, model, params, batch_stats,
     # batching, tools/train_net.py:156-170): samples sharing (padded,
     # valid, original) shapes run through one compiled executable with
     # B = TEST.IMS_PER_BATCH; partial buckets are padded by repeating
-    # the last sample so no extra executable compiles. TTA stays B=1
-    # (it already compiles one executable per scale x flip).
-    batch_size = 1 if cfg.TEST.MSC_FLIP_EVAL else max(
-        1, int(cfg.TEST.IMS_PER_BATCH))
+    # the last sample so no extra executable compiles. TTA batches
+    # TEST.TTA_IMS_PER_BATCH images (the flip pair is batched inside
+    # the TTA pass itself; the 2.0x scale bounds memory).
+    batch_size = max(1, int(
+        cfg.TEST.TTA_IMS_PER_BATCH if cfg.TEST.MSC_FLIP_EVAL
+        else cfg.TEST.IMS_PER_BATCH))
 
     from functools import partial
 

@@ -185,6 +185,58 @@ class TestGridSample:
         assert np.isfinite(np.asarray(g)).all()
         assert np.abs(np.asarray(g)).sum() > 0
 
+    @pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+    def test_custom_vjp_coords_grad_matches_torch(self, padding_mode):
+        """The gather-free custom backward (gx/gy fields saved in the
+        forward) must reproduce torch autograd's grid cotangent, incl.
+        out-of-range corners under zeros padding."""
+        b, h, w, c = 2, 10, 13, 3
+        img = RNG.uniform(0, 1, (b, h, w, c)).astype(np.float32)
+        coords = RNG.uniform(-1.2, 1.2, (b, 6, 7, 2)).astype(np.float32)
+        # weighted sum so the upstream cotangent is non-trivial
+        wgt = RNG.uniform(0.5, 1.5, (b, 6, 7, c)).astype(np.float32)
+
+        g_ours = jax.grad(
+            lambda cc: jnp.sum(grid_sample(
+                jnp.asarray(img), cc, padding_mode=padding_mode)
+                * jnp.asarray(wgt))
+        )(jnp.asarray(coords))
+
+        tg = torch.from_numpy(coords).requires_grad_(True)
+        out_t = F.grid_sample(
+            torch.from_numpy(img).permute(0, 3, 1, 2), tg,
+            mode="bilinear", padding_mode=padding_mode,
+            align_corners=True,
+        ).permute(0, 2, 3, 1)
+        (out_t * torch.from_numpy(wgt)).sum().backward()
+        np.testing.assert_allclose(
+            np.asarray(g_ours), tg.grad.numpy(), atol=2e-4, rtol=1e-4)
+
+    @pytest.mark.parametrize("padding_mode", ["zeros", "border"])
+    def test_custom_vjp_image_grad_matches_torch(self, padding_mode):
+        """The scatter-add image cotangent (used only when a caller
+        differentiates w.r.t. the sampled image) matches torch."""
+        b, h, w, c = 2, 9, 11, 2
+        img = RNG.uniform(0, 1, (b, h, w, c)).astype(np.float32)
+        coords = RNG.uniform(-1.2, 1.2, (b, 5, 6, 2)).astype(np.float32)
+        wgt = RNG.uniform(0.5, 1.5, (b, 5, 6, c)).astype(np.float32)
+
+        g_ours = jax.grad(
+            lambda im: jnp.sum(grid_sample(
+                im, jnp.asarray(coords), padding_mode=padding_mode)
+                * jnp.asarray(wgt))
+        )(jnp.asarray(img))
+
+        ti = torch.from_numpy(img).permute(0, 3, 1, 2).requires_grad_(True)
+        out_t = F.grid_sample(
+            ti, torch.from_numpy(coords), mode="bilinear",
+            padding_mode=padding_mode, align_corners=True,
+        ).permute(0, 2, 3, 1)
+        (out_t * torch.from_numpy(wgt)).sum().backward()
+        np.testing.assert_allclose(
+            np.asarray(g_ours), ti.grad.permute(0, 2, 3, 1).numpy(),
+            atol=2e-4, rtol=1e-4)
+
 
 class TestInterpolate:
     @pytest.mark.parametrize("size", [(16, 24), (7, 9), (24, 20)])

@@ -108,6 +108,58 @@ class TestTTA:
         assert np.isfinite(np.asarray(out["depth"])).all()
         assert out["offset"].shape == (1, 64, 128, 2)
 
+    def test_flip_batching_matches_sequential(self):
+        """The [2B]-batched flip pair must equal the per-pass sequential
+        order of the reference (mg_net.py:461-520): separate forwards for
+        the flipped/unflipped inputs, upsample, softmax, unflip, average."""
+        from mgnet_tpu.geometry.depth import inv2depth
+        from mgnet_tpu.geometry.image import interpolate_bilinear
+
+        cfg = small_cfg()
+        model, params, stats = init_model(cfg)
+        variables = {"params": params["model"], "batch_stats": stats}
+        x = jnp.asarray(
+            np.random.RandomState(3).rand(2, 64, 128, 3), jnp.float32
+        )
+        scales = (0.5, 1.0)
+        got = multi_scale_flip_inference(
+            model, variables, x, scales=scales, flip=True
+        )
+
+        b, h, w = 2, 64, 128
+        stride = model.common_stride
+        avg = {}
+        for scale in scales:
+            sh, sw = int(h * scale), int(w * scale)
+            xs = interpolate_bilinear(x, (sh, sw))
+            for flipped in (False, True):
+                xi = xs[:, :, ::-1, :] if flipped else xs
+                out = model.apply(variables, xi, train=False,
+                                  upsample=False)
+                r = interpolate_bilinear(
+                    out["sem_seg"].astype(jnp.float32), (h, w))
+                r = jax.nn.softmax(r, axis=-1)
+                c = interpolate_bilinear(
+                    out["center"].astype(jnp.float32), (h, w))
+                o = interpolate_bilinear(
+                    out["offset"].astype(jnp.float32), (h, w)
+                ) * (stride / scale)
+                inv = 1.0 / jnp.clip(
+                    out["depth"].astype(jnp.float32), min=1e-6)
+                d = inv2depth(interpolate_bilinear(inv, (h, w)))
+                if flipped:
+                    r, c, d = (t[:, :, ::-1] for t in (r, c, d))
+                    o = o[:, :, ::-1].at[..., 1].multiply(-1.0)
+                for k, v in dict(sem_seg=r, center=c, offset=o,
+                                 depth=d).items():
+                    avg[k] = v if k not in avg else avg[k] + v
+        n = len(scales) * 2
+        for k in ("sem_seg", "center", "offset", "depth"):
+            np.testing.assert_allclose(
+                np.asarray(got[k]), np.asarray(avg[k] / n),
+                atol=1e-5, rtol=1e-5,
+                err_msg=f"TTA flip batching changed {k}")
+
 
 class TestWeightImport:
     def test_torchvision_conversion_roundtrip(self, tmp_path):

@@ -34,6 +34,9 @@ def main():
     p.add_argument("--weights", default="")
     p.add_argument("--output", required=True)
     p.add_argument("--max-images", type=int, default=0)
+    p.add_argument("--batch", type=int, default=4,
+                   help="device batch for same-shape frames (TTA: the "
+                        "flip pair already doubles it on device)")
     p.add_argument("--gt-instance-dir", default="",
                    help="curated gtFine instanceIds dir; copied over the "
                         "generated labels so human annotations win "
@@ -97,31 +100,81 @@ def main():
     predictor = Predictor(cfg, dataset_name=args.dataset)
     os.makedirs(args.output, exist_ok=True)
 
+    import time
+    from collections import defaultdict
+    from concurrent.futures import ThreadPoolExecutor
+
     from PIL import Image
 
-    for d in dataset:
-        img = read_image(d["file_name"])
-        out = predictor(img)
-        pan = out["panoptic"].astype(np.int64)
-        # trainId -> dataset id remap, preserving instance indices
-        cls = pan // label_divisor
+    # vectorized trainId -> dataset-id remap tables (cityscapes
+    # instanceIds convention: stuff -> id, things -> id*1000 + instance)
+    max_tid = max(id_map)
+    did_table = np.zeros(max_tid + 2, np.int64)
+    isthing_table = np.zeros(max_tid + 2, bool)
+    for c in meta.categories:
+        if c["trainId"] in id_map:
+            did_table[c["trainId"]] = id_map[c["trainId"]]
+            isthing_table[c["trainId"]] = bool(c.get("isthing"))
+
+    def remap_and_save(pan: np.ndarray, file_name: str) -> None:
+        pan = pan.astype(np.int64)
+        valid = pan >= 0
+        cls = np.clip(pan // label_divisor, 0, max_tid + 1)
         inst = pan % label_divisor
-        remapped = np.zeros_like(pan, np.uint16)
-        for tid, did in id_map.items():
-            m = (cls == tid) & (pan >= 0)
-            # cityscapes instanceIds convention:
-            # stuff -> id; things -> id * 1000 + instance
-            isthing = any(
-                c["trainId"] == tid and c["isthing"]
-                for c in meta.categories
-            )
-            remapped[m] = (did * 1000 + inst[m]) if isthing else did
-        stem = os.path.splitext(os.path.basename(d["file_name"]))[0]
+        did = did_table[cls]
+        remapped = np.where(
+            valid,
+            np.where(isthing_table[cls], did * 1000 + inst, did),
+            0,
+        ).astype(np.uint16)
+        stem = os.path.splitext(os.path.basename(file_name))[0]
         stem = stem.replace("_leftImg8bit", "")
         Image.fromarray(remapped).save(
             os.path.join(args.output, f"{stem}_instanceIds.png")
         )
-    print(f"Wrote pseudo labels for {len(dataset)} images to {args.output}")
+
+    def load(d):
+        img = read_image(d["file_name"])
+        h, w = img.shape[:2]
+        t = predictor.mapper._resize(h, w)
+        return d, t.apply_image(img).astype(np.float32)
+
+    # batched inference (reference runs a DDP-batched test loader,
+    # generate_pseudo_labels.py:40-64): frames sharing a resized shape
+    # run as one device batch; PNG decode and encode ride a thread pool.
+    batch_size = max(1, int(args.batch))
+    n_done, t_first, t0 = 0, None, time.time()
+    with ThreadPoolExecutor(max(2, batch_size)) as pool:
+        buckets = defaultdict(list)
+
+        def flush(items):
+            nonlocal n_done, t_first
+            imgs = np.stack([r for _, r in items])
+            out = predictor.predict_batch(imgs)
+            for i, (d, _) in enumerate(items):
+                pool.submit(remap_and_save, out["panoptic"][i],
+                            d["file_name"])
+            n_done += len(items)
+            if t_first is None:
+                t_first = time.time()  # first batch includes compile
+
+        for d, resized in pool.map(load, dataset):
+            key = resized.shape
+            buckets[key].append((d, resized))
+            if len(buckets[key]) == batch_size:
+                flush(buckets.pop(key))
+        for key in list(buckets):
+            flush(buckets.pop(key))
+    wall = time.time() - t0
+    steady = (
+        (n_done - batch_size) / (time.time() - t_first)
+        if t_first and n_done > batch_size else n_done / max(wall, 1e-9)
+    )
+    print(f"Wrote pseudo labels for {len(dataset)} images to "
+          f"{args.output} ({wall:.1f} s wall, steady-state "
+          f"{steady:.2f} img/s -> projected "
+          f"{89250 / max(steady, 1e-9) / 3600:.1f} h for the 89,250-frame "
+          f"video-sequence split)")
 
     if args.num_processes > 1:
         # barrier, then rank 0 alone performs the gt copy-over + COCO
