@@ -262,6 +262,12 @@ def get_default_config() -> ConfigNode:
     # (ops/pallas/ssim.py). Auto-falls back to the XLA formulation on
     # non-TPU backends; numerics are identical (tests/test_pallas_ops.py).
     c.MODEL.DEPTH_HEAD.USE_PALLAS_SSIM = True
+    # Use the banded-matmul Pallas warp kernel for the view-synthesis
+    # grid_sample (ops/pallas/warp.py) — the train-step floor. Exact for
+    # any input (XLA violator correction + full-sampler guard); auto-
+    # falls back to the XLA gather formulation off-TPU or for
+    # non-conforming shapes.
+    c.MODEL.DEPTH_HEAD.USE_PALLAS_WARP = True
 
     c.MODEL.POST_PROCESSING = ConfigNode()
     c.MODEL.POST_PROCESSING.STUFF_AREA = 2048

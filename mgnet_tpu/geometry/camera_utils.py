@@ -41,7 +41,8 @@ def scale_intrinsics(K: jnp.ndarray, x_scale, y_scale) -> jnp.ndarray:
 
 
 def view_synthesis(ref_image: jnp.ndarray, depth: jnp.ndarray, ref_cam,
-                   cam, padding_mode: str = "zeros") -> jnp.ndarray:
+                   cam, padding_mode: str = "zeros",
+                   use_pallas: bool = False) -> jnp.ndarray:
     """Warp ``ref_image`` into the frame of ``cam`` given ``depth``.
 
     Parity: reference camera_utils.py:24-54 — reconstruct world points with
@@ -93,4 +94,4 @@ def view_synthesis(ref_image: jnp.ndarray, depth: jnp.ndarray, ref_cam,
     xnorm = 2.0 * (px / pz) / (w - 1) - 1.0
     ynorm = 2.0 * (py / pz) / (h - 1) - 1.0
     ref_coords = jnp.stack([xnorm, ynorm], axis=-1)
-    return grid_sample(ref_image, ref_coords, padding_mode=padding_mode)
+    return grid_sample(ref_image, ref_coords, padding_mode, use_pallas)

@@ -241,9 +241,32 @@ def _grid_sample_core(image: jnp.ndarray, coords: jnp.ndarray,
     return out, gx, gy
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _sample_dispatch(image, coords, padding_mode, want_grads, use_pallas):
+    """Route one bilinear sample to the banded-matmul Pallas kernel
+    (TPU, conforming shapes, zeros mode) or the XLA gather formulation.
+
+    The Pallas path is exact for ANY input: band violators get an XLA
+    correction pass and a lax.cond falls back to the full sampler when
+    they exceed the static budget (ops/pallas/warp.py)."""
+    if use_pallas:
+        from mgnet_tpu.ops.pallas.warp import (
+            pallas_warp_supported,
+            warp_bilinear_banded,
+        )
+
+        if pallas_warp_supported(image.shape, coords.shape, padding_mode):
+            if want_grads:
+                return warp_bilinear_banded(
+                    image, coords, padding_mode, with_grads=True)
+            return (warp_bilinear_banded(
+                image, coords, padding_mode, with_grads=False), None, None)
+    return _grid_sample_core(image, coords, padding_mode, want_grads)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def grid_sample(image: jnp.ndarray, coords: jnp.ndarray,
-                padding_mode: str = "zeros") -> jnp.ndarray:
+                padding_mode: str = "zeros",
+                use_pallas: bool = False) -> jnp.ndarray:
     """Bilinear sampling of ``image`` at normalized ``coords``.
 
     Parity: torch F.grid_sample(mode='bilinear', align_corners=True)
@@ -262,20 +285,24 @@ def grid_sample(image: jnp.ndarray, coords: jnp.ndarray,
         image: [B, H, W, C]
         coords: [B, H', W', 2], normalized to [-1, 1], channel order (x, y).
         padding_mode: 'zeros' or 'border'.
+        use_pallas: route to the banded-matmul TPU kernel when supported
+            (MODEL.DEPTH_HEAD.USE_PALLAS_WARP in the product path).
 
     Returns:
         [B, H', W', C] sampled image.
     """
-    out, _, _ = _grid_sample_core(image, coords, padding_mode, False)
+    out, _, _ = _sample_dispatch(image, coords, padding_mode, False,
+                                 use_pallas)
     return out
 
 
-def _grid_sample_fwd(image, coords, padding_mode):
-    out, gx, gy = _grid_sample_core(image, coords, padding_mode, True)
+def _grid_sample_fwd(image, coords, padding_mode, use_pallas):
+    out, gx, gy = _sample_dispatch(image, coords, padding_mode, True,
+                                   use_pallas)
     return out, (gx, gy, image, coords)
 
 
-def _grid_sample_bwd(padding_mode, res, g):
+def _grid_sample_bwd(padding_mode, use_pallas, res, g):
     gx, gy, image, coords = res
     g = g.astype(gx.dtype)
     # coords cotangent: elementwise contraction with the saved fields

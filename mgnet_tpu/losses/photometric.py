@@ -158,6 +158,7 @@ def multi_view_photometric_loss(
     photometric_reduce_op: str = "min",
     padding_mode: str = "zeros",
     use_pallas_ssim: bool = False,
+    use_pallas_warp: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Compute photometric + smoothness losses.
 
@@ -216,7 +217,8 @@ def multi_view_photometric_loss(
         unwarped = photo(ref_image) if automask_loss else None
         for i in range(n):
             warped = view_synthesis(
-                ref_image, depths[i], ref_cam, cam, padding_mode=padding_mode
+                ref_image, depths[i], ref_cam, cam,
+                padding_mode=padding_mode, use_pallas=use_pallas_warp,
             )
             candidates[i].append(photo(warped))
             if automask_loss:

@@ -1,0 +1,386 @@
+"""Pallas TPU kernel: banded MATMUL bilinear warp (the grid_sample hot path).
+
+Why: the six full-res view-synthesis warps dominate the joint train step
+(tools/profile_train.py ledger; one [8,1024,1024,3] f32 warp costs
+~630 ms as XLA per-corner gathers, ~300 ms in bf16 — byte-bound, see
+tools/bench_gather.py). TPU exposes no vectorized random-access gather:
+XLA serializes the 8M-index fetch at ~10-20 ns/row however formulated.
+
+This kernel removes the gather entirely by reformulating bilinear
+sampling as a *banded dense matmul on the MXU*, exploiting SfM warp
+structure (reference: mgnet/geometry/camera_utils.py:24-54): source
+coordinates of neighboring output pixels are nearby except at depth
+edges, so each [8, 128] output tile reads a [24, 512] source band.
+
+Per output tile (grid cell = one batch x one 8-row block x one 128-col
+block, processing all 8*128 = 1024 output pixels as lanes):
+
+* XLA precomputes per-tile band bases: ``qy8`` (vertical, 8-aligned) and
+  ``qxl`` (horizontal, 256-aligned); prefetch-driven BlockSpec index
+  maps DMA six [C, 8, 256] source blocks (3 row-blocks x 2 col-sides),
+  read WHOLE and concatenated into a band operand [C*24, 512].
+* The bilinear x-interpolation weight of source column ``k`` for a
+  pixel at ``x`` is the hat function ``relu(1 - |k - x|)`` — nonzero
+  only at k = floor(x), floor(x)+1 where it equals the usual
+  (1-frac, frac) pair. The kernel materializes A[k, j] = hat(k - x_j)
+  with one broadcasted iota + 4 VPU ops (no gather, no one-hot scatter)
+  and computes G = band @ A on the MXU: G[c*24+dy, j] is the
+  x-interpolated value of band row dy for pixel j.
+* The y-interpolation applies the same hat trick as a sublane-weighted
+  reduction: out[c, j] = sum_dy hat(dy - (y_j - ybase)) * G[c*24+dy, j].
+* The spatial-derivative fields gx, gy (for the gather-free custom VJP
+  of geometry.image.grid_sample) come from a second matmul with the
+  two-hot difference matrix A'[k, j] = [k==x0+1] - [k==x0] and from the
+  difference weights over dy — matching the XLA/torch corner convention
+  exactly, including at integer coordinates.
+* torch ``zeros`` padding falls out naturally: coords are pre-clamped
+  to [-1.5, w+0.5] x [-1.5, h+0.5] (strictly outside the image so both
+  corners of a fully-off-image pixel stay out-of-image) and an
+  out-of-image corner simply has no source column/row inside the band,
+  so its hat weight — and its derivative — never fires.
+* Pixels whose IN-IMAGE corners fall outside the tile band (depth
+  edges, fast motion) are EXACTLY corrected by an XLA pass: top-k
+  violator indices -> small per-corner gather -> scatter. If violators
+  exceed the static budget, a lax.cond falls back to the full XLA
+  sampler — exact for ANY input.
+
+All kernel ops are probe-verified Mosaic patterns: full-block ref
+reads, value concatenation, broadcasted-iota compares, MXU dots and
+axis-0 reductions. No value rolls, no dynamic value slices, no sublane
+ref slices (the failure modes of the earlier shift-select-sweep design,
+recorded in BENCH_NOTES).
+
+Off-TPU or for non-conforming shapes callers use the XLA formulation
+(see geometry.image.grid_sample dispatch).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["warp_bilinear_banded", "pallas_warp_supported"]
+
+TILE_H = 8          # output tile sublanes
+TILE_W = 128        # output tile lanes
+DY_BAND = 24        # band rows resident per tile (3 x 8-row blocks)
+WSRC = 512          # band columns resident per tile (2 x 256 blocks)
+# Lane chunk per matmul: the full tile, in one chunk — Mosaic cannot
+# broadcast a lane-offset slice ([1, L] at offset 512), and VMEM fits
+# the single [WSRC, 1024] f32 weight matrix comfortably.
+LCHUNK = TILE_H * TILE_W
+
+
+def pallas_warp_supported(image_shape, coords_shape,
+                          padding_mode: str = "zeros",
+                          backend: str | None = None) -> bool:
+    b, h, w, c = image_shape
+    if (backend or jax.default_backend()) != "tpu":
+        return False
+    if padding_mode != "zeros":
+        return False  # border-mode clamping has no banded form
+    if tuple(coords_shape[:3]) != (b, h, w):
+        return False  # same-resolution warps only (the training use)
+    return (h % TILE_H == 0 and w % 256 == 0 and w >= WSRC
+            and h >= DY_BAND and c * DY_BAND <= 256)
+
+
+def _kernel(qy_ref, qx_ref, b0l, b0r, b1l, b1r, b2l, b2r, x_ref, y_ref,
+            *out_refs, c, h, w, with_grads):
+    f32 = jnp.float32
+    band_refs = ((b0l, b0r), (b1l, b1r), (b2l, b2r))
+    bb = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    nj = pl.num_programs(2)
+    flat = (bb * pl.num_programs(1) + ti) * nj + tj
+    qy = qy_ref[flat]                   # band start row / 8
+    qx = qx_ref[flat]                   # band start col / 256
+
+    # Assemble the band operand [C*24, 512] from six whole-block reads.
+    rows = []
+    for cc in range(c):
+        for rb in range(3):
+            lft = band_refs[rb][0][0, cc, 0, 0]      # [8, 256]
+            rgt = band_refs[rb][1][0, cc, 0, 0]
+            rows.append(jnp.concatenate([lft, rgt], axis=1))
+    band = jnp.concatenate(rows, axis=0)             # [C*24, 512]
+
+    xv = x_ref[0, 0, 0]                 # [1, 1024] pixel coords f32
+    yv = y_ref[0, 0, 0]
+
+    # Source-column index (absolute) on sublanes of A.
+    ka = (jax.lax.broadcasted_iota(jnp.int32, (WSRC, 1), 0)
+          + qx * 256).astype(f32)
+    dyio = jax.lax.broadcasted_iota(
+        jnp.int32, (DY_BAND, 1), 0).astype(f32)
+    ybase = (qy * 8).astype(f32)
+    sx = (w - 1) * 0.5                  # normalized->pixel chain factors
+    sy = (h - 1) * 0.5
+
+    for lo in range(0, TILE_H * TILE_W, LCHUNK):
+        xs = xv[:, lo:lo + LCHUNK]      # [1, L]
+        ys = yv[:, lo:lo + LCHUNK]
+
+        # x hat weights: A[k, j] = relu(1 - |k - x_j|)  ([WSRC, L])
+        t = ka - xs
+        A = jnp.maximum(1.0 - jnp.abs(t), 0.0)
+        G = jax.lax.dot(band, A, precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=f32)   # [C*24, L]
+
+        # y hat weights over the band rows ([DY_BAND, L])
+        ty = dyio - (ys - ybase)
+        Wy = jnp.maximum(1.0 - jnp.abs(ty), 0.0)
+
+        if with_grads:
+            # Corner-difference matrices matching the XLA/torch
+            # convention gx = v(x0+1) - v(x0) (exact at integer coords).
+            x0 = jnp.floor(xs)
+            As = ((ka == x0 + 1.0).astype(f32)
+                  - (ka == x0).astype(f32))
+            Gx = jax.lax.dot(band, As,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=f32)
+            y0c = jnp.floor(ys - ybase)
+            Wys = ((dyio == y0c + 1.0).astype(f32)
+                   - (dyio == y0c).astype(f32))
+
+        for ci in range(c):
+            g = G[ci * DY_BAND:(ci + 1) * DY_BAND]
+            out_refs[0][0, 0, 0, ci:ci + 1, lo:lo + LCHUNK] = (
+                jnp.sum(Wy * g, axis=0, keepdims=True))
+            if with_grads:
+                g2 = Gx[ci * DY_BAND:(ci + 1) * DY_BAND]
+                out_refs[1][0, 0, 0, ci:ci + 1, lo:lo + LCHUNK] = (
+                    jnp.sum(Wy * g2, axis=0, keepdims=True) * sx)
+                out_refs[2][0, 0, 0, ci:ci + 1, lo:lo + LCHUNK] = (
+                    jnp.sum(Wys * g, axis=0, keepdims=True) * sy)
+
+
+def _tile_bases(x_pix, y_pix, h, w):
+    """Per-[8,128]-tile band bases + per-pixel violation mask (XLA).
+
+    A pixel violates only when a corner it actually NEEDS (i.e. an
+    in-image corner) falls outside the tile's resident band/window.
+    Out-of-image corners contribute zero in torch 'zeros' mode and need
+    no source data.
+    """
+    b = x_pix.shape[0]
+    ni, nj = h // TILE_H, w // TILE_W
+    x0 = jnp.floor(x_pix)
+    y0 = jnp.floor(y_pix)
+    x0c = jnp.clip(x0, 0, w - 1).astype(jnp.int32)
+    y0c = jnp.clip(y0, 0, h - 1).astype(jnp.int32)
+
+    def tiled(a):
+        return a.reshape(b, ni, TILE_H, nj, TILE_W)
+
+    ybase = jnp.clip(jnp.min(tiled(y0c), axis=(2, 4)), 0, h - DY_BAND)
+    qy8 = (ybase // 8).astype(jnp.int32)
+    xbase = jnp.clip(jnp.min(tiled(x0c), axis=(2, 4)), 0, w - WSRC)
+    qxl = (xbase // 256).astype(jnp.int32)
+
+    def per_pixel(base):
+        return jnp.broadcast_to(
+            base[:, :, None, :, None], (b, ni, TILE_H, nj, TILE_W)
+        ).reshape(b, h, w)
+
+    y_band0 = per_pixel(qy8 * 8).astype(x_pix.dtype)
+    x_win0 = per_pixel(qxl * 256).astype(x_pix.dtype)
+
+    def need_x(v):      # corner column v is in-image (data required)
+        return (v >= 0) & (v <= w - 1)
+
+    def need_y(v):
+        return (v >= 0) & (v <= h - 1)
+
+    xc0 = x0 - x_win0
+    xc1 = xc0 + 1.0
+    yc0 = y0 - y_band0
+    yc1 = yc0 + 1.0
+    viol = (
+        (need_x(x0) & ((xc0 < 0) | (xc0 > WSRC - 1)))
+        | (need_x(x0 + 1) & ((xc1 < 0) | (xc1 > WSRC - 1)))
+        | (need_y(y0) & ((yc0 < 0) | (yc0 > DY_BAND - 1)))
+        | (need_y(y0 + 1) & ((yc1 < 0) | (yc1 > DY_BAND - 1)))
+    )
+    return qy8, qxl, viol
+
+
+def _exact_at_indices(image, x_pix, y_pix, idx, padding_mode):
+    """Exact bilinear (+ gx, gy) at flat pixel indices [B, K]."""
+    b, h, w, c = image.shape
+    flat_img = image.reshape(b, h * w, c)
+    xf = jnp.take_along_axis(x_pix.reshape(b, -1), idx, axis=1)
+    yf = jnp.take_along_axis(y_pix.reshape(b, -1), idx, axis=1)
+    x0f = jnp.floor(xf)
+    y0f = jnp.floor(yf)
+    wx1 = xf - x0f
+    wy1 = yf - y0f
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+    x0c = jnp.clip(x0f, 0, w - 1).astype(jnp.int32)
+    x1c = jnp.clip(x0f + 1, 0, w - 1).astype(jnp.int32)
+    y0c = jnp.clip(y0f, 0, h - 1).astype(jnp.int32)
+    y1c = jnp.clip(y0f + 1, 0, h - 1).astype(jnp.int32)
+
+    def g(yi, xi):
+        return jnp.take_along_axis(
+            flat_img, (yi * w + xi)[..., None], axis=1)  # [B, K, C]
+
+    v00, v01 = g(y0c, x0c), g(y0c, x1c)
+    v10, v11 = g(y1c, x0c), g(y1c, x1c)
+    if padding_mode == "zeros":
+        def inb(vx, vy):
+            return ((vx >= 0) & (vx <= w - 1) & (vy >= 0)
+                    & (vy <= h - 1)).astype(image.dtype)[..., None]
+
+        v00 = v00 * inb(x0f, y0f)
+        v01 = v01 * inb(x0f + 1, y0f)
+        v10 = v10 * inb(x0f, y0f + 1)
+        v11 = v11 * inb(x0f + 1, y0f + 1)
+    out = (v00 * (wy0 * wx0)[..., None] + v01 * (wy0 * wx1)[..., None]
+           + v10 * (wy1 * wx0)[..., None] + v11 * (wy1 * wx1)[..., None])
+    sx, sy = (w - 1) * 0.5, (h - 1) * 0.5
+    gx = (wy0[..., None] * (v01 - v00) + wy1[..., None] * (v11 - v10)) * sx
+    gy = (wx0[..., None] * (v10 - v00) + wx1[..., None] * (v11 - v01)) * sy
+    return out, gx, gy
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("padding_mode", "with_grads", "correction_k",
+                     "exact_guard", "interpret"))
+def warp_bilinear_banded(image, coords, padding_mode="zeros",
+                         with_grads=True, correction_k=8192,
+                         exact_guard=True, interpret=False):
+    """Banded-matmul Pallas bilinear warp; grid_sample contract plus
+    optional (gx, gy) spatial-derivative fields.
+
+    Args:
+        image: [B, H, W, C] float32 (channels fold into the band rows).
+        coords: [B, H, W, 2] normalized [-1, 1], (x, y) order.
+        correction_k: static per-image violator budget for the exact
+            XLA correction pass.
+        exact_guard: lax.cond to the full XLA sampler when violators
+            exceed the budget (exact for ANY input at the cost of one
+            extra compiled branch).
+    """
+    b, h, w, c = image.shape
+    f32 = jnp.float32
+    image = image.astype(f32)
+    # Pre-clamp fully-out-of-image pixels to 1.5px outside the image so
+    # BOTH their corners stay out-of-image (value AND derivative zero,
+    # torch zeros mode). Clamping to exactly -1/w would instead land on
+    # the boundary point whose derivative is nonzero.
+    x_pix = jnp.clip(
+        (coords[..., 0].astype(f32) + 1.0) * 0.5 * (w - 1), -1.5, w + 0.5)
+    y_pix = jnp.clip(
+        (coords[..., 1].astype(f32) + 1.0) * 0.5 * (h - 1), -1.5, h + 0.5)
+
+    qy8, qxl, viol = _tile_bases(x_pix, y_pix, h, w)
+    ni, nj = h // TILE_H, w // TILE_W
+
+    # [B, C, H/8, W/256, 8, 256]: (8, 256) minor dims = (sublane, lane)
+    img6 = image.transpose(0, 3, 1, 2).reshape(
+        b, c, h // 8, 8, w // 256, 256).transpose(0, 1, 2, 4, 3, 5)
+    # Cell-ordered coords: [B, ni, nj, 8*128] with lane = r*128 + l.
+    def cell_order(a):
+        return a.reshape(b, ni, TILE_H, nj, TILE_W).transpose(
+            0, 1, 3, 2, 4).reshape(b, ni, nj, 1, TILE_H * TILE_W)
+
+    x4 = cell_order(x_pix)
+    y4 = cell_order(y_pix)
+
+    kernel = functools.partial(
+        _kernel, c=c, h=h, w=w, with_grads=with_grads)
+
+    out_struct = jax.ShapeDtypeStruct((b, ni, nj, c, TILE_H * TILE_W), f32)
+    n_out = 3 if with_grads else 1
+
+    def band_index(row, side):
+        def index_map(bb, i, j, qy, qx):
+            flat = (bb * ni + i) * nj + j
+            return (bb, 0, qy[flat] + row, qx[flat] + side, 0, 0)
+
+        return index_map
+
+    band_specs = [
+        pl.BlockSpec((1, c, 1, 1, 8, 256), band_index(row, side))
+        for row in range(3) for side in range(2)
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, ni, nj),
+        in_specs=band_specs + [
+            pl.BlockSpec((1, 1, 1, 1, TILE_H * TILE_W),
+                         lambda bb, i, j, qy, qx: (bb, i, j, 0, 0)),
+            pl.BlockSpec((1, 1, 1, 1, TILE_H * TILE_W),
+                         lambda bb, i, j, qy, qx: (bb, i, j, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, 1, c, TILE_H * TILE_W),
+                         lambda bb, i, j, qy, qx: (bb, i, j, 0, 0)),
+        ] * n_out,
+    )
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[out_struct] * n_out,
+        interpret=interpret,
+    )(qy8.reshape(-1), qxl.reshape(-1),
+      img6, img6, img6, img6, img6, img6, x4, y4)
+
+    def to_nhwc(o):
+        return o.reshape(b, ni, nj, c, TILE_H, TILE_W).transpose(
+            0, 1, 4, 2, 5, 3).reshape(b, h, w, c)
+
+    if with_grads:
+        out, gx, gy = (to_nhwc(o) for o in outs)
+    else:
+        out = to_nhwc(outs[0])
+        gx = gy = None
+
+    # ---- exact correction of band violators ------------------------------
+    k = min(correction_k, h * w)
+    viol_flat = viol.reshape(b, -1)
+    _, vidx = jax.lax.top_k(viol_flat.astype(f32), k)
+    co, cgx, cgy = _exact_at_indices(image, x_pix, y_pix, vidx,
+                                     padding_mode)
+    bi = jnp.arange(b)[:, None]
+
+    def scatter(dst, val):
+        return dst.reshape(b, h * w, c).at[bi, vidx].set(val).reshape(
+            b, h, w, c)
+
+    out = scatter(out, co)
+    if with_grads:
+        gx = scatter(gx, cgx)
+        gy = scatter(gy, cgy)
+
+    if exact_guard:
+        n_viol = jnp.sum(viol_flat)
+
+        def full_path(_):
+            from mgnet_tpu.geometry.image import _grid_sample_core
+
+            o, gxe, gye = _grid_sample_core(
+                image, coords.astype(f32), padding_mode, True)
+            return o, gxe, gye
+
+        def fast_path(_):
+            if with_grads:
+                return out, gx, gy
+            return out, out, out
+
+        res = jax.lax.cond(n_viol > k, full_path, fast_path, None)
+        out, gx, gy = res
+
+    if with_grads:
+        return out, gx, gy
+    return out

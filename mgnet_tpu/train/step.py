@@ -99,6 +99,7 @@ def compute_losses(cfg, outputs: Dict[str, Any],
                 photometric_reduce_op=dh.PHOTOMETRIC_REDUCE_OP,
                 padding_mode=dh.PADDING_MODE,
                 use_pallas_ssim=dh.USE_PALLAS_SSIM,
+                use_pallas_warp=dh.USE_PALLAS_WARP,
             )
 
         if cfg.MODEL.REMAT:

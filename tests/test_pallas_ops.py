@@ -46,6 +46,91 @@ def test_fused_photometric_gradient():
     )
 
 
+def _sfm_coords(b, h, w, scale=1.0, jitter=0.5, shift=(0.0, 0.0), seed=0):
+    """SfM-like warp coordinates: radial scale + shift + gaussian jitter."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cx, cy = (w - 1) / 2, (h - 1) / 2
+    x_src = cx + (xx - cx) * scale + shift[0]
+    y_src = cy + (yy - cy) * scale + shift[1]
+    x_src = x_src + rng.randn(b, h, w).astype(np.float32) * jitter
+    y_src = y_src + rng.randn(b, h, w).astype(np.float32) * jitter
+    return jnp.asarray(np.stack(
+        [2 * x_src / (w - 1) - 1, 2 * y_src / (h - 1) - 1],
+        axis=-1).astype(np.float32))
+
+
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("identity", dict(scale=1.0, jitter=0.0)),
+        ("subpixel", dict(scale=1.0, jitter=0.0, shift=(0.3, -0.7))),
+        ("integer", dict(scale=1.0, jitter=0.0, shift=(3.0, 2.0))),
+        ("sfm", dict(scale=1.05, jitter=0.5)),
+        ("violators", dict(scale=1.0, jitter=6.0)),
+        ("off_image", dict(scale=1.0, jitter=0.3, shift=(500.0, 20.0))),
+    ],
+)
+def test_banded_warp_matches_xla(name, kw):
+    """Banded-matmul warp kernel == XLA grid_sample core (value AND the
+    gx/gy derivative fields), including violator correction, integer
+    coordinates and fully off-image pixels (torch zeros semantics)."""
+    from mgnet_tpu.geometry.image import _grid_sample_core
+    from mgnet_tpu.ops.pallas.warp import warp_bilinear_banded
+
+    b, h, w, c = 1, 32, 512, 3
+    img = jnp.asarray(RNG.rand(b, h, w, c), jnp.float32)
+    coords = _sfm_coords(b, h, w, **kw)
+    ref, rgx, rgy = _grid_sample_core(img, coords, "zeros", True)
+    out, gx, gy = warp_bilinear_banded(
+        img, coords, "zeros", with_grads=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rgx), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(rgy), atol=2e-4)
+
+
+def test_banded_warp_guard_fallback():
+    """When violators exceed the static budget the lax.cond guard
+    reproduces the full XLA sampler exactly (any-input exactness)."""
+    from mgnet_tpu.geometry.image import _grid_sample_core
+    from mgnet_tpu.ops.pallas.warp import warp_bilinear_banded
+
+    b, h, w, c = 1, 32, 512, 3
+    img = jnp.asarray(RNG.rand(b, h, w, c), jnp.float32)
+    # uniform-random coords: nearly every pixel violates its tile band
+    rng = np.random.RandomState(3)
+    coords = jnp.asarray(rng.uniform(-1, 1, (b, h, w, 2)), jnp.float32)
+    ref, _, _ = _grid_sample_core(img, coords, "zeros", True)
+    out = warp_bilinear_banded(
+        img, coords, "zeros", with_grads=False, correction_k=128,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_grid_sample_pallas_dispatch_falls_back_off_tpu():
+    """use_pallas=True on CPU must silently use the XLA path (and the
+    custom VJP must keep matching torch-convention gradients)."""
+    import jax
+
+    from mgnet_tpu.geometry.image import grid_sample
+
+    b, h, w, c = 1, 32, 512, 3
+    img = jnp.asarray(RNG.rand(b, h, w, c), jnp.float32)
+    coords = _sfm_coords(b, h, w, scale=1.02, jitter=0.4)
+    ref = grid_sample(img, coords, "zeros", False)
+    out = grid_sample(img, coords, "zeros", True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+
+    g_ref = jax.grad(
+        lambda co: jnp.sum(grid_sample(img, co, "zeros", False) ** 2)
+    )(coords)
+    g_pal = jax.grad(
+        lambda co: jnp.sum(grid_sample(img, co, "zeros", True) ** 2)
+    )(coords)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                               atol=1e-5)
+
+
 def test_center_argmin_matches_xla_path():
     from mgnet_tpu.ops.pallas.center_argmin import center_argmin
 

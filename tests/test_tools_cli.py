@@ -101,7 +101,9 @@ def test_runbook_chain(tmp_path):
     )
 
     # AOT export of the fused pipeline at tiny size + on-host verify
-    exp_out = str(tmp_path / "export")
+    exp_dir = tmp_path / "export"
+    exp_dir.mkdir()
+    exp_out = str(exp_dir / "model.jaxir")
     _run(
         [sys.executable, "tools/export_inference.py",
          "--config-file", "configs/MGNet-Cityscapes-Fine.yaml",
@@ -110,7 +112,8 @@ def test_runbook_chain(tmp_path):
          "MODEL.COMPUTE_DTYPE", "float32"],
         timeout=900,
     )
-    assert os.listdir(exp_out), "export produced no artifacts"
+    assert os.path.exists(exp_out), "export produced no artifact"
+    assert os.path.exists(exp_out + ".stablehlo"), "export wrote no StableHLO"
 
 
 @pytest.mark.slow

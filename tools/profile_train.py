@@ -37,7 +37,7 @@ except Exception:
     pass
 
 
-def _surrogate_grid_sample(image, coords, padding_mode="zeros"):
+def _surrogate_grid_sample(image, coords, padding_mode="zeros", *args):
     """Gather-free stand-in for grid_sample: same tensor shapes, keeps the
     full coordinate compute graph (and its gradients to depth/pose) but
     replaces the 4-corner gather with elementwise math."""
