@@ -138,13 +138,16 @@ class Predictor:
                     result["depth"] = out["depth"][..., 0]
                 return result
 
+            self._fused_raw = tta_fused
             self.fused = jax.jit(tta_fused)
         else:
-            self.fused = jax.jit(build_fused_inference(
+            self._fused_raw = build_fused_inference(
                 self.model, statics,
                 tuple(cfg.MODEL.PIXEL_MEAN), tuple(cfg.MODEL.PIXEL_STD),
                 with_panoptic=cfg.WITH_PANOPTIC, with_depth=cfg.WITH_DEPTH,
-            ))
+            )
+            self.fused = jax.jit(self._fused_raw)
+        self._fused_filtered: Dict = {}
         self.mapper = TestDatasetMapper(cfg)
         self.calibration_info = calibration_info
 
@@ -191,7 +194,8 @@ class Predictor:
 
     def predict_batch(self, images_resized: np.ndarray,
                       camera_matrix: Optional[np.ndarray] = None,
-                      camera_height: Optional[np.ndarray] = None) -> Dict:
+                      camera_height: Optional[np.ndarray] = None,
+                      outputs: Optional[tuple] = None) -> Dict:
         """Batched raw-path inference on pre-resized images.
 
         Args:
@@ -199,6 +203,14 @@ class Predictor:
                 to a common shape (e.g. the fixed-size video-sequence
                 frames in pseudo-label generation — reference DDP batched
                 loader, generate_pseudo_labels.py:40-64).
+            outputs: optional tuple of result keys to compute and fetch.
+                When set, a filtered executable is compiled (cached per
+                key tuple): XLA dead-code-eliminates the unrequested
+                branches AND only the requested arrays travel D2H — at
+                1024x2048 the full panoptic dict is ~40 MB/image while
+                `("panoptic",)` is 8 MB, the difference dominating
+                host-attached transfer cost (pseudo-label generation
+                consumes panoptic only).
         Returns dict of [B, ...] numpy arrays.
         """
         kwargs = {}
@@ -207,7 +219,22 @@ class Predictor:
             kwargs["camera_height"] = jnp.asarray(
                 camera_height if camera_height is not None
                 else np.ones((images_resized.shape[0],), np.float32))
-        out = self.fused(
+        fn = self.fused
+        if outputs is not None:
+            key = tuple(outputs)
+            if key not in self._fused_filtered:
+                import jax
+
+                raw = self._fused_raw
+
+                def filtered(params, batch_stats, image, _keys=key,
+                             **kw):
+                    res = raw(params, batch_stats, image, **kw)
+                    return {k: res[k] for k in _keys}
+
+                self._fused_filtered[key] = jax.jit(filtered)
+            fn = self._fused_filtered[key]
+        out = fn(
             self.params, self.batch_stats, jnp.asarray(images_resized),
             **kwargs,
         )

@@ -16,23 +16,25 @@ Per output tile (grid cell = one batch x one 8-row block x one 128-col
 block, processing all 8*128 = 1024 output pixels as lanes):
 
 * XLA precomputes per-tile band bases: ``qy8`` (vertical, 8-aligned) and
-  ``qxl`` (horizontal, 256-aligned); prefetch-driven BlockSpec index
-  maps DMA six [C, 8, 256] source blocks (3 row-blocks x 2 col-sides),
-  read WHOLE and concatenated into a band operand [C*24, 512].
-* The bilinear x-interpolation weight of source column ``k`` for a
-  pixel at ``x`` is the hat function ``relu(1 - |k - x|)`` — nonzero
-  only at k = floor(x), floor(x)+1 where it equals the usual
-  (1-frac, frac) pair. The kernel materializes A[k, j] = hat(k - x_j)
-  with one broadcasted iota + 4 VPU ops (no gather, no one-hot scatter)
-  and computes G = band @ A on the MXU: G[c*24+dy, j] is the
-  x-interpolated value of band row dy for pixel j.
-* The y-interpolation applies the same hat trick as a sublane-weighted
-  reduction: out[c, j] = sum_dy hat(dy - (y_j - ybase)) * G[c*24+dy, j].
-* The spatial-derivative fields gx, gy (for the gather-free custom VJP
-  of geometry.image.grid_sample) come from a second matmul with the
-  two-hot difference matrix A'[k, j] = [k==x0+1] - [k==x0] and from the
-  difference weights over dy — matching the XLA/torch corner convention
-  exactly, including at integer coordinates.
+  ``qxl`` (horizontal, 128-aligned); prefetch-driven BlockSpec index
+  maps DMA nine [C, 8, 128] source blocks (3 row-blocks x 3 col-blocks),
+  read WHOLE and concatenated into a band operand [C*24, 384].
+* The x-lookup is a *corner-select* matmul: C0[k, j] = [k == floor(x_j)]
+  and C1[k, j] = [k == floor(x_j)+1] are 0/1 matrices (built from one
+  broadcasted iota + a compare, EXACT in bf16), so ``V0 = band @ C0``
+  and ``V1 = band @ C1`` fetch the two corner columns of every pixel
+  with zero accumulation rounding (exactly one nonzero per C column).
+  The band is split bf16x3 (hi/mid/lo residuals) and the dots run at
+  DEFAULT precision: 6 native bf16 MXU passes reconstruct the f32
+  corner values to ~1 ulp — 2.7x cheaper than the two f32-HIGHEST hat
+  matmuls of the v1 kernel (12 K=512 pass-equivalents) at the same
+  exactness, and the x-interpolation and its derivative become VPU
+  epilogue: value = V0 + frac*(V1-V0), gx = (V1-V0)*sx.
+* The y-interpolation applies a hat-function trick as a sublane-weighted
+  reduction: out[c, j] = sum_dy relu(1-|dy - (y_j - ybase)|) * Gv[dy, j];
+  gy uses the difference weights [dy==y0+1] - [dy==y0] over the same
+  rows — matching the XLA/torch corner convention exactly, including at
+  integer coordinates.
 * torch ``zeros`` padding falls out naturally: coords are pre-clamped
   to [-1.5, w+0.5] x [-1.5, h+0.5] (strictly outside the image so both
   corners of a fully-off-image pixel stay out-of-image) and an
@@ -68,10 +70,11 @@ __all__ = ["warp_bilinear_banded", "pallas_warp_supported"]
 TILE_H = 8          # output tile sublanes
 TILE_W = 128        # output tile lanes
 DY_BAND = 24        # band rows resident per tile (3 x 8-row blocks)
-WSRC = 512          # band columns resident per tile (2 x 256 blocks)
+WSRC = 384          # band columns resident per tile (3 x 128 blocks)
+XBLK = 128          # band column-block width / horizontal alignment
 # Lane chunk per matmul: the full tile, in one chunk — Mosaic cannot
 # broadcast a lane-offset slice ([1, L] at offset 512), and VMEM fits
-# the single [WSRC, 1024] f32 weight matrix comfortably.
+# the [WSRC, 1024] bf16 corner-select matrices comfortably.
 LCHUNK = TILE_H * TILE_W
 
 
@@ -85,37 +88,47 @@ def pallas_warp_supported(image_shape, coords_shape,
         return False  # border-mode clamping has no banded form
     if tuple(coords_shape[:3]) != (b, h, w):
         return False  # same-resolution warps only (the training use)
-    return (h % TILE_H == 0 and w % 256 == 0 and w >= WSRC
+    return (h % TILE_H == 0 and w % XBLK == 0 and w >= WSRC
             and h >= DY_BAND and c * DY_BAND <= 256)
 
 
-def _kernel(qy_ref, qx_ref, b0l, b0r, b1l, b1r, b2l, b2r, x_ref, y_ref,
-            *out_refs, c, h, w, with_grads):
+def _kernel(qy_ref, qx_ref, b00, b01, b02, b10, b11, b12, b20, b21, b22,
+            x_ref, y_ref, *out_refs, c, h, w, with_grads):
     f32 = jnp.float32
-    band_refs = ((b0l, b0r), (b1l, b1r), (b2l, b2r))
+    bf16 = jnp.bfloat16
+    band_refs = ((b00, b01, b02), (b10, b11, b12), (b20, b21, b22))
     bb = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     nj = pl.num_programs(2)
     flat = (bb * pl.num_programs(1) + ti) * nj + tj
     qy = qy_ref[flat]                   # band start row / 8
-    qx = qx_ref[flat]                   # band start col / 256
+    qx = qx_ref[flat]                   # band start col / XBLK
 
-    # Assemble the band operand [C*24, 512] from six whole-block reads.
+    # Assemble the band operand [C*24, WSRC] from nine whole-block reads.
     rows = []
     for cc in range(c):
         for rb in range(3):
-            lft = band_refs[rb][0][0, cc, 0, 0]      # [8, 256]
-            rgt = band_refs[rb][1][0, cc, 0, 0]
-            rows.append(jnp.concatenate([lft, rgt], axis=1))
-    band = jnp.concatenate(rows, axis=0)             # [C*24, 512]
+            rows.append(jnp.concatenate(
+                [band_refs[rb][sb][0, cc, 0, 0] for sb in range(3)],
+                axis=1))                                 # [8, WSRC]
+    band = jnp.concatenate(rows, axis=0)                 # [C*24, WSRC]
+    # bf16x3 split: hi/mid/lo residuals reconstruct f32 to ~1 ulp. The
+    # three terms stack on M so corner fetch is ONE dot per tile
+    # ([3*C*24 -> 256 pad, WSRC] x [WSRC, 2L]: 96 MXU passes vs 144 for
+    # six separate dots, and one invocation's fixed cost, not six).
+    b_hi = band.astype(bf16)
+    r1 = band - b_hi.astype(f32)
+    b_mid = r1.astype(bf16)
+    b_lo = (r1 - b_mid.astype(f32)).astype(bf16)
+    band3 = jnp.concatenate([b_hi, b_mid, b_lo], axis=0)  # [3*C*24, WSRC]
 
     xv = x_ref[0, 0, 0]                 # [1, 1024] pixel coords f32
     yv = y_ref[0, 0, 0]
 
-    # Source-column index (absolute) on sublanes of A.
+    # Source-column index (absolute) on sublanes of the select matrices.
     ka = (jax.lax.broadcasted_iota(jnp.int32, (WSRC, 1), 0)
-          + qx * 256).astype(f32)
+          + qx * XBLK).astype(f32)
     dyio = jax.lax.broadcasted_iota(
         jnp.int32, (DY_BAND, 1), 0).astype(f32)
     ybase = (qy * 8).astype(f32)
@@ -126,35 +139,39 @@ def _kernel(qy_ref, qx_ref, b0l, b0r, b1l, b1r, b2l, b2r, x_ref, y_ref,
         xs = xv[:, lo:lo + LCHUNK]      # [1, L]
         ys = yv[:, lo:lo + LCHUNK]
 
-        # x hat weights: A[k, j] = relu(1 - |k - x_j|)  ([WSRC, L])
-        t = ka - xs
-        A = jnp.maximum(1.0 - jnp.abs(t), 0.0)
-        G = jax.lax.dot(band, A, precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=f32)   # [C*24, L]
+        # Corner-select matrix: exactly one nonzero per column inside
+        # the window (none when that corner is out-of-window/off-image),
+        # 0/1 so EXACT in bf16; the dot therefore performs exact
+        # per-column fetches with no accumulation rounding. Both corners
+        # concatenate on N: [WSRC, 2L].
+        x0 = jnp.floor(xs)
+        wx1 = xs - x0                    # [1, L] x fraction
+        C01 = (ka == jnp.concatenate([x0, x0 + 1.0], axis=1)
+               ).astype(bf16)            # [WSRC, 2L]
+        V = jax.lax.dot(band3, C01,
+                        preferred_element_type=f32)  # [3*C*24, 2L]
+        m = c * DY_BAND
+        V0 = V[:m, :LCHUNK] + V[m:2 * m, :LCHUNK] + V[2 * m:, :LCHUNK]
+        V1 = (V[:m, LCHUNK:] + V[m:2 * m, LCHUNK:]
+              + V[2 * m:, LCHUNK:])      # [C*24, L] corner values
+        dv = V1 - V0                     # d(value)/dx per band row
+        Gv = V0 + wx1 * dv               # x-interpolated band rows
 
         # y hat weights over the band rows ([DY_BAND, L])
         ty = dyio - (ys - ybase)
         Wy = jnp.maximum(1.0 - jnp.abs(ty), 0.0)
 
         if with_grads:
-            # Corner-difference matrices matching the XLA/torch
-            # convention gx = v(x0+1) - v(x0) (exact at integer coords).
-            x0 = jnp.floor(xs)
-            As = ((ka == x0 + 1.0).astype(f32)
-                  - (ka == x0).astype(f32))
-            Gx = jax.lax.dot(band, As,
-                             precision=jax.lax.Precision.HIGHEST,
-                             preferred_element_type=f32)
             y0c = jnp.floor(ys - ybase)
             Wys = ((dyio == y0c + 1.0).astype(f32)
                    - (dyio == y0c).astype(f32))
 
         for ci in range(c):
-            g = G[ci * DY_BAND:(ci + 1) * DY_BAND]
+            g = Gv[ci * DY_BAND:(ci + 1) * DY_BAND]
             out_refs[0][0, 0, 0, ci:ci + 1, lo:lo + LCHUNK] = (
                 jnp.sum(Wy * g, axis=0, keepdims=True))
             if with_grads:
-                g2 = Gx[ci * DY_BAND:(ci + 1) * DY_BAND]
+                g2 = dv[ci * DY_BAND:(ci + 1) * DY_BAND]
                 out_refs[1][0, 0, 0, ci:ci + 1, lo:lo + LCHUNK] = (
                     jnp.sum(Wy * g2, axis=0, keepdims=True) * sx)
                 out_refs[2][0, 0, 0, ci:ci + 1, lo:lo + LCHUNK] = (
@@ -182,7 +199,7 @@ def _tile_bases(x_pix, y_pix, h, w):
     ybase = jnp.clip(jnp.min(tiled(y0c), axis=(2, 4)), 0, h - DY_BAND)
     qy8 = (ybase // 8).astype(jnp.int32)
     xbase = jnp.clip(jnp.min(tiled(x0c), axis=(2, 4)), 0, w - WSRC)
-    qxl = (xbase // 256).astype(jnp.int32)
+    qxl = (xbase // XBLK).astype(jnp.int32)
 
     def per_pixel(base):
         return jnp.broadcast_to(
@@ -190,7 +207,7 @@ def _tile_bases(x_pix, y_pix, h, w):
         ).reshape(b, h, w)
 
     y_band0 = per_pixel(qy8 * 8).astype(x_pix.dtype)
-    x_win0 = per_pixel(qxl * 256).astype(x_pix.dtype)
+    x_win0 = per_pixel(qxl * XBLK).astype(x_pix.dtype)
 
     def need_x(v):      # corner column v is in-image (data required)
         return (v >= 0) & (v <= w - 1)
@@ -285,9 +302,9 @@ def warp_bilinear_banded(image, coords, padding_mode="zeros",
     qy8, qxl, viol = _tile_bases(x_pix, y_pix, h, w)
     ni, nj = h // TILE_H, w // TILE_W
 
-    # [B, C, H/8, W/256, 8, 256]: (8, 256) minor dims = (sublane, lane)
+    # [B, C, H/8, W/XBLK, 8, XBLK]: (8, XBLK) minor dims = (sublane, lane)
     img6 = image.transpose(0, 3, 1, 2).reshape(
-        b, c, h // 8, 8, w // 256, 256).transpose(0, 1, 2, 4, 3, 5)
+        b, c, h // 8, 8, w // XBLK, XBLK).transpose(0, 1, 2, 4, 3, 5)
     # Cell-ordered coords: [B, ni, nj, 8*128] with lane = r*128 + l.
     def cell_order(a):
         return a.reshape(b, ni, TILE_H, nj, TILE_W).transpose(
@@ -310,8 +327,8 @@ def warp_bilinear_banded(image, coords, padding_mode="zeros",
         return index_map
 
     band_specs = [
-        pl.BlockSpec((1, c, 1, 1, 8, 256), band_index(row, side))
-        for row in range(3) for side in range(2)
+        pl.BlockSpec((1, c, 1, 1, 8, XBLK), band_index(row, side))
+        for row in range(3) for side in range(3)
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -334,7 +351,7 @@ def warp_bilinear_banded(image, coords, padding_mode="zeros",
         out_shape=[out_struct] * n_out,
         interpret=interpret,
     )(qy8.reshape(-1), qxl.reshape(-1),
-      img6, img6, img6, img6, img6, img6, x4, y4)
+      img6, img6, img6, img6, img6, img6, img6, img6, img6, x4, y4)
 
     def to_nhwc(o):
         return o.reshape(b, ni, nj, c, TILE_H, TILE_W).transpose(
@@ -347,39 +364,71 @@ def warp_bilinear_banded(image, coords, padding_mode="zeros",
         gx = gy = None
 
     # ---- exact correction of band violators ------------------------------
+    # Tiered exactness, cheapest sufficient tier wins at runtime:
+    #   A (smooth flow, the common case): violators confined to <= 16 of
+    #     the h*w/128 raster groups -> top_k over GROUP COUNTS (~20x
+    #     cheaper than a per-pixel top_k) + recompute 16*128 px. A
+    #     non-violating pixel inside a picked group is overwritten with
+    #     its exact value — a no-op.
+    #   B (edge-heavy frames — a strong near-object edge crosses ~H
+    #     raster groups, so tier A cannot hold): per-pixel top_k over
+    #     h*w with budget correction_k (~18 ms/warp at 8x1024^2 — the v1
+    #     kernel paid this on EVERY call).
+    #   C (pathological coords): the full XLA sampler. Exact for ANY
+    #     input.
+    # The lax.cond chain evaluates only the taken tier at runtime.
     k = min(correction_k, h * w)
+    grp = h * w // 128
+    r_grp = min(16, max(1, k // 128))
+    viol_g = viol.reshape(b, grp, 128)
+    gcount = jnp.sum(viol_g.astype(jnp.int32), axis=-1)     # [B, G]
+    n_bad_groups = jnp.max(
+        jnp.sum((gcount > 0).astype(jnp.int32), axis=-1))
     viol_flat = viol.reshape(b, -1)
-    _, vidx = jax.lax.top_k(viol_flat.astype(f32), k)
-    co, cgx, cgy = _exact_at_indices(image, x_pix, y_pix, vidx,
-                                     padding_mode)
+    n_viol = jnp.max(jnp.sum(viol_flat.astype(jnp.int32), axis=-1))
     bi = jnp.arange(b)[:, None]
 
-    def scatter(dst, val):
-        return dst.reshape(b, h * w, c).at[bi, vidx].set(val).reshape(
-            b, h, w, c)
+    def corrected(vidx):
+        co, cgx, cgy = _exact_at_indices(image, x_pix, y_pix, vidx,
+                                         padding_mode)
 
-    out = scatter(out, co)
-    if with_grads:
-        gx = scatter(gx, cgx)
-        gy = scatter(gy, cgy)
+        def scatter(dst, val):
+            return dst.reshape(b, h * w, c).at[bi, vidx].set(
+                val).reshape(b, h, w, c)
+
+        o = scatter(out, co)
+        if with_grads:
+            return o, scatter(gx, cgx), scatter(gy, cgy)
+        return o, o, o
+
+    def tier_a(_):
+        _, gidx = jax.lax.top_k(gcount.astype(f32), r_grp)  # [B, R]
+        vidx = (gidx[..., None] * 128
+                + jnp.arange(128, dtype=gidx.dtype)).reshape(
+                    b, r_grp * 128)
+        return corrected(vidx)
+
+    def tier_b(_):
+        _, vidx = jax.lax.top_k(viol_flat.astype(f32), k)
+        return corrected(vidx)
+
+    def tier_c(_):
+        from mgnet_tpu.geometry.image import _grid_sample_core
+
+        o, gxe, gye = _grid_sample_core(
+            image, coords.astype(f32), padding_mode, True)
+        if with_grads:
+            return o, gxe, gye
+        return o, o, o
 
     if exact_guard:
-        n_viol = jnp.sum(viol_flat)
-
-        def full_path(_):
-            from mgnet_tpu.geometry.image import _grid_sample_core
-
-            o, gxe, gye = _grid_sample_core(
-                image, coords.astype(f32), padding_mode, True)
-            return o, gxe, gye
-
-        def fast_path(_):
-            if with_grads:
-                return out, gx, gy
-            return out, out, out
-
-        res = jax.lax.cond(n_viol > k, full_path, fast_path, None)
-        out, gx, gy = res
+        out, gx, gy = jax.lax.cond(
+            n_bad_groups <= r_grp, tier_a,
+            lambda _: jax.lax.cond(n_viol <= k, tier_b, tier_c, None),
+            None)
+    else:
+        out, gx, gy = jax.lax.cond(
+            n_bad_groups <= r_grp, tier_a, tier_b, None)
 
     if with_grads:
         return out, gx, gy

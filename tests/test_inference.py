@@ -246,3 +246,20 @@ class TestPredictor:
         out2 = p2(img)
         assert out2["panoptic"].shape == (64, 128)
         assert out2["depth"].shape == (64, 128)
+
+    def test_predict_batch_outputs_filter(self):
+        """outputs=('panoptic',) compiles a filtered executable whose
+        results match the full dict (pseudo-label D2H compaction)."""
+        from mgnet_tpu.inference.predictor import Predictor
+
+        cfg = small_cfg()
+        cfg.INPUT.MIN_SIZE_TEST = 64
+        cfg.INPUT.MAX_SIZE_TEST = 128
+        p = Predictor(cfg, dataset_name="ptest3")
+        imgs = np.random.RandomState(1).randint(
+            0, 255, (2, 64, 128, 3), np.uint8
+        ).astype(np.float32)
+        full = p.predict_batch(imgs)
+        only = p.predict_batch(imgs, outputs=("panoptic",))
+        assert set(only) == {"panoptic"}
+        np.testing.assert_array_equal(only["panoptic"], full["panoptic"])

@@ -150,7 +150,7 @@ def main():
         def flush(items):
             nonlocal n_done, t_first
             imgs = np.stack([r for _, r in items])
-            out = predictor.predict_batch(imgs)
+            out = predictor.predict_batch(imgs, outputs=("panoptic",))
             for i, (d, _) in enumerate(items):
                 pool.submit(remap_and_save, out["panoptic"][i],
                             d["file_name"])

@@ -40,7 +40,11 @@ def main():
     parser = argparse.ArgumentParser(
         description="Stage-by-stage fused-inference latency breakdown "
                     "(run on a TPU host)")
-    parser.parse_args()
+    parser.add_argument("--tta", action="store_true",
+                        help="probe the MSC+flip TTA path device-only "
+                             "(chained protocol, true D2H sync)")
+    parser.add_argument("--tta-batch", type=int, default=2)
+    args = parser.parse_args()
 
     from mgnet_tpu.config import get_default_config
     from mgnet_tpu.data.catalog import Metadata
@@ -78,6 +82,57 @@ def main():
         [[[2262.0, 0, 1023.5], [0, 2262.0, 511.5], [0, 0, 1]]], np.float32
     ))
     ch = jnp.asarray([1.22], jnp.float32)
+
+    if args.tta:
+        # Device-only cost of the MSC+flip TTA executable (the relay
+        # D2H that dominates tools/generate_pseudo_labels.py steady
+        # state is excluded by construction: only a scalar leaves the
+        # chip per step). Chained protocol per BENCH_NOTES §protocol.
+        from functools import partial
+
+        from mgnet_tpu.inference.tta import multi_scale_flip_inference
+        from mgnet_tpu.train.step import normalize_images
+
+        B = args.tta_batch
+        imgs = jnp.asarray(
+            np.random.RandomState(0).randint(0, 255, (B, H, W, 3)),
+            jnp.float32)
+
+        @jax.jit
+        def tta_step(carry, x):
+            v = {"params": params["model"], "batch_stats": stats}
+            xn = normalize_images(
+                x + carry * 0, tuple(cfg.MODEL.PIXEL_MEAN),
+                tuple(cfg.MODEL.PIXEL_STD))
+            out = multi_scale_flip_inference(
+                model, v, xn, with_panoptic=True, with_depth=False)
+            sem = jnp.argmax(out["sem_seg"], axis=-1).astype(jnp.int32)
+            fuse = partial(
+                panoptic_fusion, num_classes=statics.num_classes,
+                last_stuff_id=statics.last_stuff_id,
+                label_divisor=statics.label_divisor,
+                stuff_area=statics.stuff_area, void_label=-1,
+                threshold=statics.center_threshold,
+                nms_kernel=statics.nms_kernel,
+                max_instances=statics.max_instances)
+            pan = jax.vmap(fuse)(sem, out["center"][..., 0],
+                                 out["offset"])
+            return carry + jnp.sum(pan).astype(jnp.float32)
+
+        carry = jnp.float32(0.0)
+        for _ in range(3):
+            carry = tta_step(carry, imgs)
+        float(carry)
+        carry = jnp.float32(0.0)
+        iters = 10
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            carry = tta_step(carry, imgs)
+        assert np.isfinite(float(carry))
+        dt = (time.perf_counter() - t0) / iters
+        print(f"TTA MSC+flip batch {B} @ {H}x{W}: {dt * 1e3:.1f} ms/step"
+              f" = {dt / B * 1e3:.1f} ms/img ({B / dt:.2f} img/s)")
+        return
 
     # 0. dispatch overhead through the tunnel
     noop = jax.jit(lambda x: x + 1.0)
