@@ -258,10 +258,14 @@ def get_default_config() -> ConfigNode:
     c.MODEL.DEPTH_HEAD.AUTOMASK_LOSS = True
     c.MODEL.DEPTH_HEAD.PHOTOMETRIC_REDUCE_OP = "min"
     c.MODEL.DEPTH_HEAD.PADDING_MODE = "zeros"
-    # Use the fused Pallas SSIM+L1 kernel in the photometric loss
-    # (ops/pallas/ssim.py). Auto-falls back to the XLA formulation on
-    # non-TPU backends; numerics are identical (tests/test_pallas_ops.py).
-    c.MODEL.DEPTH_HEAD.USE_PALLAS_SSIM = True
+    # Fused Pallas SSIM+L1 kernel in the photometric loss
+    # (ops/pallas/ssim.py). Default OFF since round 3: the photometric
+    # loss is train-only and the kernel's custom VJP re-runs the XLA
+    # formulation in the backward, so the Pallas forward ADDS a pass —
+    # measured 403.9 vs 393.9 ms/step batch 8 @1024² (BENCH_NOTES
+    # §Training r3). The kernel remains for forward-only consumers;
+    # numerics are identical either way (tests/test_pallas_ops.py).
+    c.MODEL.DEPTH_HEAD.USE_PALLAS_SSIM = False
     # Use the banded-matmul Pallas warp kernel for the view-synthesis
     # grid_sample (ops/pallas/warp.py) — the train-step floor. Exact for
     # any input (XLA violator correction + full-sampler guard); auto-

@@ -113,7 +113,9 @@ class TrainDatasetMapper:
         else:
             image = image_orig
 
-        out: Dict[str, np.ndarray] = {"image": image.astype(np.float32)}
+        # images stay uint8: the device casts (train/step.py unit_image /
+        # normalize_images) — 4x less H2D and no full-res host f32 passes
+        out: Dict[str, np.ndarray] = {"image": image}
 
         pan_ids = rgb2id(pan_rgb)
         targets = self.target_gen(pan_ids, d["segments_info"])
@@ -129,11 +131,11 @@ class TrainDatasetMapper:
                 nxt = jitter.apply_image(next_orig)
             else:
                 prev, nxt = prev_orig, next_orig
-            out["image_prev"] = prev.astype(np.float32)
-            out["image_next"] = nxt.astype(np.float32)
-            out["image_orig"] = image_orig.astype(np.float32) / 255.0
-            out["image_prev_orig"] = prev_orig.astype(np.float32) / 255.0
-            out["image_next_orig"] = next_orig.astype(np.float32) / 255.0
+            out["image_prev"] = prev
+            out["image_next"] = nxt
+            out["image_orig"] = image_orig
+            out["image_prev_orig"] = prev_orig
+            out["image_next_orig"] = next_orig
 
             # reprojection mask: drop ignored classes, then let transforms
             # that define apply_reprojection_mask (pad) zero their borders

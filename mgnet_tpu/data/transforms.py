@@ -233,24 +233,43 @@ def _blend(img1: np.ndarray, img2: np.ndarray, ratio: float) -> np.ndarray:
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def _value_lut(ratio: float, other: float) -> np.ndarray:
+    """256-entry uint8 LUT for blend-with-a-scalar: per-VALUE ops, so
+    applying the LUT is bit-identical to the per-pixel f32 blend while
+    touching each pixel once (the f32 chain cost ~0.15 s/frame at
+    flagship resolution — the mapper hot spot, tools note in
+    BENCH_NOTES §Data pipeline)."""
+    v = np.arange(256, dtype=np.float32)
+    out = ratio * v + (1.0 - ratio) * np.float32(other)
+    return np.clip(out, 0, 255).astype(np.uint8)
+
+
 def _adjust_brightness(img, factor):
-    return _blend(img, np.zeros_like(img), factor)
+    return _value_lut(factor, 0.0)[img]
 
 
 def _grayscale(img):
-    # ITU-R 601-2 luma (torchvision rgb_to_grayscale)
-    g = (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])
+    # ITU-R 601-2 luma (torchvision rgb_to_grayscale); f32 like the
+    # torchvision tensor path (a python-float multiply on the uint8
+    # channel would silently promote the whole pass to float64)
+    img = img.astype(np.float32, copy=False)
+    g = (np.float32(0.299) * img[..., 0]
+         + np.float32(0.587) * img[..., 1]
+         + np.float32(0.114) * img[..., 2])
     return g
 
 
 def _adjust_contrast(img, factor):
-    mean = _grayscale(img).mean()
-    return _blend(img, np.full_like(img, mean, dtype=np.float32), factor)
+    mean = float(_grayscale(img).mean())
+    return _value_lut(factor, mean)[img]
 
 
 def _adjust_saturation(img, factor):
-    gray = _grayscale(img)[..., None]
-    return _blend(img, np.broadcast_to(gray, img.shape), factor)
+    # ratio*img + (1-ratio)*gray per pixel; scale gray [H,W] once and
+    # broadcast-add instead of materializing a [H,W,3] gray copy
+    gray_scaled = (1.0 - factor) * _grayscale(img)
+    out = factor * img.astype(np.float32) + gray_scaled[..., None]
+    return np.clip(out, 0, 255).astype(np.uint8)
 
 
 def _adjust_hue(img, factor):

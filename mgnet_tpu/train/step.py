@@ -46,6 +46,19 @@ def normalize_images(images: jnp.ndarray, pixel_mean, pixel_std) -> jnp.ndarray:
     return (x - mean) / std
 
 
+def unit_image(images: jnp.ndarray) -> jnp.ndarray:
+    """[0,1]-range f32 view of an image batch.
+
+    The train mapper ships uint8 (host does decode+augment only; the
+    cast and /255 run on device — 4x less H2D and ~6 fewer full-res
+    host passes per sample); synthetic fixtures and older tools ship
+    unit-range floats directly. dtype is static under jit, so this is
+    free dispatch, not a runtime branch."""
+    if images.dtype == jnp.uint8:
+        return images.astype(jnp.float32) / 255.0
+    return images
+
+
 def compute_losses(cfg, outputs: Dict[str, Any],
                    batch: Dict[str, Any]) -> Dict[str, jnp.ndarray]:
     """Assemble the (unweighted) per-task losses.
@@ -110,9 +123,9 @@ def compute_losses(cfg, outputs: Dict[str, Any],
             outputs["inv_depths"],
             outputs["poses"],
             batch["camera_matrix"],
-            batch["image_orig"],
-            batch["image_prev_orig"],
-            batch["image_next_orig"],
+            unit_image(batch["image_orig"]),
+            unit_image(batch["image_prev_orig"]),
+            unit_image(batch["image_next_orig"]),
             batch.get("reprojection_mask"),
         )
         losses.update(photo)

@@ -29,6 +29,15 @@ def main():
     p.add_argument("--depth-only", action="store_true")
     p.add_argument("--no-depth", action="store_true")
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--no-pallas-ssim", action="store_true",
+                   help="disable the Pallas SSIM forward (its backward "
+                        "re-runs the XLA formulation, so in TRAINING the "
+                        "kernel adds a forward — measure both ways)")
+    p.add_argument("--accum", type=int, default=1,
+                   help="SOLVER.GRAD_ACCUM_STEPS: --batch is the GLOBAL "
+                        "batch, scanned as accum sequential micro-batches "
+                        "in one jitted step (flagship batch-12 on one "
+                        "chip: --batch 12 --accum 2)")
     args = p.parse_args()
 
     from mgnet_tpu.config import get_default_config
@@ -44,6 +53,10 @@ def main():
         cfg.WITH_DEPTH = False
     if args.remat:
         cfg.MODEL.REMAT = True
+    if args.accum > 1:
+        cfg.SOLVER.GRAD_ACCUM_STEPS = args.accum
+    if args.no_pallas_ssim:
+        cfg.MODEL.DEPTH_HEAD.USE_PALLAS_SSIM = False
 
     model = build_model(cfg)
     state = create_train_state(
