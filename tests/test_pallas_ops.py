@@ -142,3 +142,41 @@ def test_center_argmin_matches_xla_path():
     cs = np.where(np.asarray(valid)[:, None], np.asarray(centers), 1e12)
     d = ((np.asarray(pts)[:, :, None, :] - cs[None, None]) ** 2).sum(-1)
     np.testing.assert_array_equal(np.asarray(out), d.argmin(-1))
+
+
+def test_banded_warp_depth_edge_tier_b():
+    """A strong vertical depth edge (near-object boundary: disparity jump
+    of ~200 px crossing every image row) floods the raster-group tier —
+    exactly the real-frame case that must route to the per-pixel top_k
+    tier, not the full-sampler guard — and stays exact (value + grads)."""
+    from mgnet_tpu.geometry.image import _grid_sample_core
+    from mgnet_tpu.ops.pallas.warp import warp_bilinear_banded
+
+    from mgnet_tpu.ops.pallas.warp import _tile_bases
+
+    b, h, w, c = 1, 64, 512, 3
+    img = jnp.asarray(RNG.rand(b, h, w, c), jnp.float32)
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # object boundary at x=300: left side flows far left, right side
+    # right — within one 8x128 tile the needed source span exceeds the
+    # 384-px band window however it is aligned
+    disparity = np.where(xx < 300, -280.0, 50.0)
+    x_src = np.clip(xx + disparity, 0.0, w - 2.0)
+    y_src = yy + 0.3
+    coords = jnp.asarray(np.stack(
+        [2 * x_src / (w - 1) - 1, 2 * y_src / (h - 1) - 1],
+        axis=-1)[None].astype(np.float32))
+    # self-check the scenario: violators flood the raster groups (the
+    # group tier cannot hold) but stay under the per-pixel budget
+    xp = jnp.asarray(x_src)[None]
+    yp = jnp.asarray(y_src)[None]
+    _, _, viol = _tile_bases(xp, yp, h, w)
+    gcount = np.asarray(viol).reshape(1, -1, 128).sum(-1)
+    assert (gcount > 0).sum() > 16, "edge too weak to leave tier A"
+    assert int(np.asarray(viol).sum()) <= 8192, "would hit the full guard"
+    ref, rgx, rgy = _grid_sample_core(img, coords, "zeros", True)
+    out, gx, gy = warp_bilinear_banded(
+        img, coords, "zeros", with_grads=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(rgx), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(gy), np.asarray(rgy), atol=2e-4)
