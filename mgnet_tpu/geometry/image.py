@@ -245,9 +245,14 @@ def _sample_dispatch(image, coords, padding_mode, want_grads, use_pallas):
     """Route one bilinear sample to the banded-matmul Pallas kernel
     (TPU, conforming shapes, zeros mode) or the XLA gather formulation.
 
-    The Pallas path is exact for ANY input: band violators get an XLA
-    correction pass and a lax.cond falls back to the full sampler when
-    they exceed the static budget (ops/pallas/warp.py)."""
+    use_pallas: False | True | "fast". True is exact for ANY input
+    (bf16x3 band split reconstructs f32 to ~1 ulp; band violators get
+    an XLA correction pass and a lax.cond falls back to the full
+    sampler over budget). "fast" drops the low bf16 residual term
+    (one-third less MXU work, measured 32.5 -> 27.4 ms/warp at
+    8x1024²): value error <= ~2^-17 * max|image| ≈ 4e-6 for the
+    unit-range images of the photometric loss — the product train path
+    default (MODEL.DEPTH_HEAD.PALLAS_WARP_FAST)."""
     if use_pallas:
         from mgnet_tpu.ops.pallas.warp import (
             pallas_warp_supported,
@@ -255,11 +260,14 @@ def _sample_dispatch(image, coords, padding_mode, want_grads, use_pallas):
         )
 
         if pallas_warp_supported(image.shape, coords.shape, padding_mode):
+            terms = 2 if use_pallas == "fast" else 3
             if want_grads:
                 return warp_bilinear_banded(
-                    image, coords, padding_mode, with_grads=True)
+                    image, coords, padding_mode, with_grads=True,
+                    band_terms=terms)
             return (warp_bilinear_banded(
-                image, coords, padding_mode, with_grads=False), None, None)
+                image, coords, padding_mode, with_grads=False,
+                band_terms=terms), None, None)
     return _grid_sample_core(image, coords, padding_mode, want_grads)
 
 
@@ -285,8 +293,10 @@ def grid_sample(image: jnp.ndarray, coords: jnp.ndarray,
         image: [B, H, W, C]
         coords: [B, H', W', 2], normalized to [-1, 1], channel order (x, y).
         padding_mode: 'zeros' or 'border'.
-        use_pallas: route to the banded-matmul TPU kernel when supported
-            (MODEL.DEPTH_HEAD.USE_PALLAS_WARP in the product path).
+        use_pallas: False | True | "fast" — route to the banded-matmul
+            TPU kernel when supported (MODEL.DEPTH_HEAD.USE_PALLAS_WARP
+            in the product path); see _sample_dispatch for the "fast"
+            (bf16x2) error bound.
 
     Returns:
         [B, H', W', C] sampled image.

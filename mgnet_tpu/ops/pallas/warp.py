@@ -93,7 +93,8 @@ def pallas_warp_supported(image_shape, coords_shape,
 
 
 def _kernel(qy_ref, qx_ref, b00, b01, b02, b10, b11, b12, b20, b21, b22,
-            x_ref, y_ref, *out_refs, c, h, w, with_grads):
+            x_ref, y_ref, *out_refs, c, h, w, with_grads,
+            band_terms):
     f32 = jnp.float32
     bf16 = jnp.bfloat16
     band_refs = ((b00, b01, b02), (b10, b11, b12), (b20, b21, b22))
@@ -120,8 +121,10 @@ def _kernel(qy_ref, qx_ref, b00, b01, b02, b10, b11, b12, b20, b21, b22,
     b_hi = band.astype(bf16)
     r1 = band - b_hi.astype(f32)
     b_mid = r1.astype(bf16)
-    b_lo = (r1 - b_mid.astype(f32)).astype(bf16)
-    band3 = jnp.concatenate([b_hi, b_mid, b_lo], axis=0)  # [3*C*24, WSRC]
+    terms = [b_hi, b_mid]
+    if band_terms == 3:
+        terms.append((r1 - b_mid.astype(f32)).astype(bf16))
+    band3 = jnp.concatenate(terms, axis=0)     # [terms*C*24, WSRC]
 
     xv = x_ref[0, 0, 0]                 # [1, 1024] pixel coords f32
     yv = y_ref[0, 0, 0]
@@ -149,11 +152,12 @@ def _kernel(qy_ref, qx_ref, b00, b01, b02, b10, b11, b12, b20, b21, b22,
         C01 = (ka == jnp.concatenate([x0, x0 + 1.0], axis=1)
                ).astype(bf16)            # [WSRC, 2L]
         V = jax.lax.dot(band3, C01,
-                        preferred_element_type=f32)  # [3*C*24, 2L]
+                        preferred_element_type=f32)  # [terms*C*24, 2L]
         m = c * DY_BAND
-        V0 = V[:m, :LCHUNK] + V[m:2 * m, :LCHUNK] + V[2 * m:, :LCHUNK]
-        V1 = (V[:m, LCHUNK:] + V[m:2 * m, LCHUNK:]
-              + V[2 * m:, LCHUNK:])      # [C*24, L] corner values
+        V0 = sum(V[t * m:(t + 1) * m, :LCHUNK]
+                 for t in range(band_terms))
+        V1 = sum(V[t * m:(t + 1) * m, LCHUNK:]
+                 for t in range(band_terms))   # [C*24, L] corner values
         dv = V1 - V0                     # d(value)/dx per band row
         Gv = V0 + wx1 * dv               # x-interpolated band rows
 
@@ -271,10 +275,12 @@ def _exact_at_indices(image, x_pix, y_pix, idx, padding_mode):
 @functools.partial(
     jax.jit,
     static_argnames=("padding_mode", "with_grads", "correction_k",
+                     "band_terms",
                      "exact_guard", "interpret"))
 def warp_bilinear_banded(image, coords, padding_mode="zeros",
                          with_grads=True, correction_k=8192,
-                         exact_guard=True, interpret=False):
+                         exact_guard=True, band_terms=3,
+                         interpret=False):
     """Banded-matmul Pallas bilinear warp; grid_sample contract plus
     optional (gx, gy) spatial-derivative fields.
 
@@ -313,8 +319,10 @@ def warp_bilinear_banded(image, coords, padding_mode="zeros",
     x4 = cell_order(x_pix)
     y4 = cell_order(y_pix)
 
+    assert band_terms in (2, 3), band_terms
     kernel = functools.partial(
-        _kernel, c=c, h=h, w=w, with_grads=with_grads)
+        _kernel, c=c, h=h, w=w, with_grads=with_grads,
+        band_terms=band_terms)
 
     out_struct = jax.ShapeDtypeStruct((b, ni, nj, c, TILE_H * TILE_W), f32)
     n_out = 3 if with_grads else 1

@@ -112,7 +112,9 @@ def compute_losses(cfg, outputs: Dict[str, Any],
                 photometric_reduce_op=dh.PHOTOMETRIC_REDUCE_OP,
                 padding_mode=dh.PADDING_MODE,
                 use_pallas_ssim=dh.USE_PALLAS_SSIM,
-                use_pallas_warp=dh.USE_PALLAS_WARP,
+                use_pallas_warp=(
+                    "fast" if (dh.USE_PALLAS_WARP and dh.PALLAS_WARP_FAST)
+                    else dh.USE_PALLAS_WARP),
             )
 
         if cfg.MODEL.REMAT:

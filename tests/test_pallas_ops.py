@@ -180,3 +180,29 @@ def test_banded_warp_depth_edge_tier_b():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(rgx), atol=2e-4)
     np.testing.assert_allclose(np.asarray(gy), np.asarray(rgy), atol=2e-4)
+
+
+def test_banded_warp_fast_mode_error_bound():
+    """bf16x2 'fast' band split (PALLAS_WARP_FAST): on unit-range images
+    (the photometric loss's input range) values stay within 2e-5 of the
+    XLA core and the derivative fields within 1e-4 in PER-PIXEL units —
+    the normalized-coord fields scale by (w-1)/2, so an absolute bound
+    on gx/gy directly would just re-measure that constant."""
+    from mgnet_tpu.geometry.image import _grid_sample_core
+    from mgnet_tpu.ops.pallas.warp import warp_bilinear_banded
+
+    b, h, w, c = 1, 32, 512, 3
+    sx, sy = (w - 1) / 2.0, (h - 1) / 2.0
+    img = jnp.asarray(RNG.rand(b, h, w, c), jnp.float32)
+    for kw in (dict(scale=1.05, jitter=0.5), dict(scale=1.0, jitter=6.0)):
+        coords = _sfm_coords(b, h, w, **kw)
+        ref, rgx, rgy = _grid_sample_core(img, coords, "zeros", True)
+        out, gx, gy = warp_bilinear_banded(
+            img, coords, "zeros", with_grads=True, band_terms=2,
+            interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=2e-5)
+        np.testing.assert_allclose(np.asarray(gx) / sx,
+                                   np.asarray(rgx) / sx, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(gy) / sy,
+                                   np.asarray(rgy) / sy, atol=1e-4)

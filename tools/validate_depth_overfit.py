@@ -132,7 +132,8 @@ def _analytic_frames():
     return cur[None], prev[None], nxt[None], K, tx, inv_gt
 
 
-def run_ablation(mode: str, steps: int) -> int:
+def run_ablation(mode: str, steps: int,
+                 pallas_warp: str = "off") -> int:
     """Isolated optimization probes (VERDICT r1 #7 root-cause ablations).
 
     gt_pose:  optimize a per-pixel inverse-depth field with the analytic
@@ -165,11 +166,15 @@ def run_ablation(mode: str, steps: int) -> int:
         [[[tx, 0, 0, 0, 0, 0], [-tx, 0, 0, 0, 0, 0]]], jnp.float32
     )
 
+    use_pallas = {"off": False, "exact": True,
+                  "fast": "fast"}[pallas_warp]
+
     def photo(inv_depth, poses, reduce_op="min"):
         out = multi_view_photometric_loss(
             [inv_depth], poses, K, cur, [prev, nxt],
             automask_loss=False, smoothing_loss_weight=0.001,
             photometric_reduce_op=reduce_op,
+            use_pallas_warp=use_pallas,
         )
         return (out["loss_photometric"] + out["loss_smoothness"],
                 out["loss_photometric"])
@@ -251,10 +256,23 @@ def main():
     p.add_argument("--lr", type=float, default=2e-4)
     p.add_argument("--mode", default="full",
                    choices=["full", "gt_pose", "gt_depth"])
+    p.add_argument("--width", type=int, default=W,
+                   help="scene width; >= 384 makes the ablations "
+                        "exercise the Pallas banded warp kernel "
+                        "(e.g. --width 512 --pallas-warp fast: "
+                        "end-to-end hardware validation that the "
+                        "kernel's gradient fields drive the "
+                        "optimization to the true structure)")
+    p.add_argument("--pallas-warp", default="off",
+                   choices=["off", "exact", "fast"])
     args = p.parse_args()
 
+    if args.width != W:
+        globals()["W"] = args.width
+
     if args.mode != "full":
-        return run_ablation(args.mode, args.steps)
+        return run_ablation(args.mode, args.steps,
+                            pallas_warp=args.pallas_warp)
 
     from mgnet_tpu.config import get_default_config
     from mgnet_tpu.data.cityscapes import register_all_cityscapes_scene_seg
