@@ -356,7 +356,11 @@ def evaluate_dataset(cfg, model, params, batch_stats,
                 road_class_id=statics.road_class_id,
                 filter_class_ids=statics.depth_filter_ids,
             )
-            res["depth"] = dpp.astype(jnp.float16)
+            # clamp the far-plane sentinel (1/inv_clip = 1e6 m) into
+            # f16 range: unclamped it becomes inf in the f16 cast and
+            # poisons the depth metrics (any value past the evaluator's
+            # 80 m max-depth mask is equivalent)
+            res["depth"] = jnp.minimum(dpp, 6.0e4).astype(jnp.float16)
         host = jax.device_get(res)
         upcast = {"sem": np.int32, "pan": np.int32, "center": np.float32,
                   "probs": np.float32, "depth": np.float32}

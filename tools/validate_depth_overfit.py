@@ -26,9 +26,13 @@ H, W = 128, 256
 FX = 226.0
 BASELINE = 0.22
 DEPTH_TOP, DEPTH_BOTTOM = 30.0, 10.0  # ratio 3:1 == shift ratio 3:9
+# --mode full scene: four planes, shift_i = FX*tx/d_i, FX*tx = 90
+PLANE_SHIFTS = (2, 3, 6, 9)
+PLANE_DEPTHS = (45.0, 30.0, 15.0, 10.0)
+N_SCENES = 6
 
 
-def _texture():
+def _texture(seed: int = 7):
     """Multi-octave random texture, [0,1] floats.
 
     Root-cause finding (VERDICT r1 #7): single-octave blurred white noise
@@ -41,7 +45,7 @@ def _texture():
     """
     import cv2
 
-    rng = np.random.RandomState(7)
+    rng = np.random.RandomState(seed)
     tex = np.zeros((H, W + 32, 3), np.float32)
     for sigma, weight in [(1.5, 0.45), (6.0, 0.3), (24.0, 0.25)]:
         n = cv2.GaussianBlur(
@@ -68,47 +72,71 @@ def make_dataset(root: str):
     for d in dirs.values():
         os.makedirs(d, exist_ok=True)
 
-    tex = (_texture() * 255).astype(np.uint8)
+    # SIX scenes with distinct textures over the same analytic
+    # geometry: scene diversity is what makes self-supervised SfM
+    # well-posed — it decouples pose from the per-scene appearance,
+    # keeps batch statistics representative (BN eval/train agreement),
+    # and is exactly what the single-scene probe lacked.
+    # FOUR fronto-parallel planes, one camera translation: shift_i =
+    # fx*tx/d_i with fx*tx = 90 -> integer parallaxes (2, 3, 6, 9) px at
+    # depths (45, 30, 15, 10) m. Two planes are NOT enough: the min-
+    # reduction over the two context frames lets a FLAT depth field
+    # reach the loss plateau (prev's uniform warp fits one plane, next's
+    # the other — observed: photometric 0.021 with collapsed depth).
+    # With four layers no pair of uniform shifts covers the scene, so
+    # the plateau requires the true layered structure — the same reason
+    # min-reduce works on real many-depth scenes.
+    def band(i):
+        lo = i * H // 4
+        return slice(lo, lo + H // 4)
 
-    def frame(shift_sign):
-        """shift_sign -1/0/+1: parallax of 2px (top) and 6px (bottom)."""
-        img = np.empty((H, W, 3), np.uint8)
-        s_top = 3 * shift_sign
-        s_bot = 9 * shift_sign
-        img[: H // 2] = np.roll(tex[: H // 2], s_top, axis=1)[:, :W]
-        img[H // 2:] = np.roll(tex[H // 2:], s_bot, axis=1)[:, :W]
-        return img
-
-    stem = f"{city}_000000_000010"
-    from PIL import Image
-
-    Image.fromarray(frame(0)).save(f"{dirs['img']}/{stem}_leftImg8bit.png")
-    for i, sign in ((9, 1), (10, 0), (11, -1)):
-        Image.fromarray(frame(sign)).save(
-            f"{dirs['seq']}/{city}_000000_{i:06d}_leftImg8bit.png")
-
-    # panoptic gt (unused for depth; keeps the mapper uniform)
-    pan = np.full((H, W), 1 * 1000, np.int32)
-    Image.fromarray(id2rgb(pan)).save(
-        f"{dirs['gt']}/{stem}_gtFine_panoptic.png")
-    ann = {"annotations": [{
-        "image_id": stem, "file_name": f"{stem}_gtFine_panoptic.png",
-        "segments_info": [{"id": 1000, "category_id": 7, "iscrowd": 0}],
-    }], "categories": []}
-    with open(f"{root}/cityscapes/gtFine/cityscapes_panoptic_train.json",
-              "w") as f:
-        json.dump(ann, f)
-    with open(f"{dirs['cam']}/{stem}_camera.json", "w") as f:
-        json.dump({"intrinsic": {"fx": FX, "fy": FX,
-                                 "u0": (W - 1) / 2, "v0": (H - 1) / 2},
-                   "extrinsic": {"baseline": BASELINE, "z": 1.2}}, f)
-
-    # disparity GT encoding the two analytic plane depths
-    depth_gt = np.full((H, W), DEPTH_TOP, np.float32)
-    depth_gt[H // 2:] = DEPTH_BOTTOM
+    # disparity GT encoding the four analytic plane depths
+    depth_gt = np.empty((H, W), np.float32)
+    for i, d in enumerate(PLANE_DEPTHS):
+        depth_gt[band(i)] = d
     disp = BASELINE * FX / depth_gt
     stored = (disp * 256.0 + 1.0).astype(np.uint16)
-    Image.fromarray(stored).save(f"{dirs['disp']}/{stem}_disparity.png")
+
+    anns = []
+    for sc in range(N_SCENES):
+        tex = (_texture(seed=7 + sc) * 255).astype(np.uint8)
+
+        def frame(shift_sign):
+            img = np.empty((H, W, 3), np.uint8)
+            for i, sh in enumerate(PLANE_SHIFTS):
+                img[band(i)] = np.roll(
+                    tex[band(i)], sh * shift_sign, axis=1)[:, :W]
+            return img
+
+        stem = f"{city}_{sc:06d}_000010"
+        Image.fromarray(frame(0)).save(
+            f"{dirs['img']}/{stem}_leftImg8bit.png")
+        for i, sign in ((9, 1), (10, 0), (11, -1)):
+            Image.fromarray(frame(sign)).save(
+                f"{dirs['seq']}/{city}_{sc:06d}_{i:06d}_leftImg8bit.png")
+
+        # panoptic gt (unused for depth; keeps the mapper uniform)
+        pan = np.full((H, W), 1 * 1000, np.int32)
+        Image.fromarray(id2rgb(pan)).save(
+            f"{dirs['gt']}/{stem}_gtFine_panoptic.png")
+        anns.append({
+            "image_id": stem,
+            "file_name": f"{stem}_gtFine_panoptic.png",
+            "segments_info": [
+                {"id": 1000, "category_id": 7, "iscrowd": 0}],
+        })
+        with open(f"{dirs['cam']}/{stem}_camera.json", "w") as f:
+            json.dump({"intrinsic": {"fx": FX, "fy": FX,
+                                     "u0": (W - 1) / 2,
+                                     "v0": (H - 1) / 2},
+                       "extrinsic": {"baseline": BASELINE, "z": 1.2}},
+                      f)
+        Image.fromarray(stored).save(
+            f"{dirs['disp']}/{stem}_disparity.png")
+
+    with open(f"{root}/cityscapes/gtFine/cityscapes_panoptic_train.json",
+              "w") as f:
+        json.dump({"annotations": anns, "categories": []}, f)
 
 
 def _analytic_frames():
@@ -265,6 +293,25 @@ def main():
                         "optimization to the true structure)")
     p.add_argument("--pallas-warp", default="off",
                    choices=["off", "exact", "fast"])
+    p.add_argument("--reduce", default="min",
+                   choices=["min", "mean"],
+                   help="photometric reduce for --mode full. On the "
+                        "single-scene probe, 'min' over the two context "
+                        "frames is DEGENERATE: with two independent "
+                        "poses, prev can fit one plane and next the "
+                        "other, so flat depth reaches the loss plateau "
+                        "(observed: photometric 0.021 with collapsed "
+                        "depth). 'mean' forces both frames to agree — "
+                        "the same single-static-scene artifact and fix "
+                        "documented for the gt_depth ablation. Real "
+                        "multi-scene training keeps the reference's "
+                        "'min' (occlusion handling).")
+    p.add_argument("--weights", default="",
+                   help="ImageNet-init npz for --mode full (the product "
+                        "path); random init leaves the depth head's "
+                        "sigmoid at its midpoint on an untrained "
+                        "encoder, a collapse-prone start on the tiny "
+                        "probe scene")
     args = p.parse_args()
 
     if args.width != W:
@@ -291,21 +338,24 @@ def main():
     cfg.SOLVER.WARMUP_ITERS = 50
     cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9
     cfg.TEST.EVAL_PERIOD = 0
-    cfg.INPUT.MIN_SIZE_TRAIN = (128,)
-    cfg.INPUT.MAX_SIZE_TRAIN = 256
+    cfg.INPUT.MIN_SIZE_TRAIN = (H,)
+    cfg.INPUT.MAX_SIZE_TRAIN = W
     cfg.INPUT.CROP.ENABLED = False
     cfg.INPUT.COLOR_JITTER.ENABLED = False
     cfg.INPUT.RANDOM_FLIP = "none"
-    cfg.INPUT.MIN_SIZE_TEST = 128
-    cfg.INPUT.MAX_SIZE_TEST = 256
+    cfg.INPUT.MIN_SIZE_TEST = H
+    cfg.INPUT.MAX_SIZE_TEST = W
     cfg.INPUT.IGNORED_CATEGORIES_IN_DEPTH = []
     # exact synthetic correspondences: the static-scene automask shortcut
     # would otherwise dominate the loss and starve depth of gradient
     cfg.MODEL.DEPTH_HEAD.AUTOMASK_LOSS = False
+    cfg.MODEL.DEPTH_HEAD.PHOTOMETRIC_REDUCE_OP = args.reduce
     cfg.MODEL.POST_PROCESSING.USE_DGC_SCALING = False  # GT-median scaling
     cfg.DATASETS.TRAIN = ("cityscapes_fine_scene_seg_train",)
     cfg.DATASETS.TEST = ("cityscapes_fine_scene_seg_train",)
     cfg.DATALOADER.NUM_WORKERS = 2
+    if args.weights:
+        cfg.MODEL.WEIGHTS = args.weights
     cfg.OUTPUT_DIR = os.path.join(tmp, "out")
     cfg.MESH.DATA = 1
 
