@@ -235,7 +235,8 @@ def _blend(img1: np.ndarray, img2: np.ndarray, ratio: float) -> np.ndarray:
 
 def _value_lut(ratio: float, other: float) -> np.ndarray:
     """256-entry uint8 LUT for blend-with-a-scalar: per-VALUE ops, so
-    applying the LUT is bit-identical to the per-pixel f32 blend while
+    applying the LUT matches the per-pixel f32 blend (bit-identical for
+    brightness; contrast's f32 mean can shift boundary values 1 LSB) while
     touching each pixel once (the f32 chain cost ~0.15 s/frame at
     flagship resolution — the mapper hot spot, tools note in
     BENCH_NOTES §Data pipeline)."""
@@ -245,6 +246,9 @@ def _value_lut(ratio: float, other: float) -> np.ndarray:
 
 
 def _adjust_brightness(img, factor):
+    if img.dtype != np.uint8:  # LUT indexing assumes uint8 values
+        return np.clip(factor * img.astype(np.float32), 0, 255).astype(
+            img.dtype)
     return _value_lut(factor, 0.0)[img]
 
 
@@ -260,7 +264,13 @@ def _grayscale(img):
 
 
 def _adjust_contrast(img, factor):
+    # mean accumulates in f32 (not torchvision's f64) — boundary values can
+    # differ from the exact per-pixel blend by 1 LSB
     mean = float(_grayscale(img).mean())
+    if img.dtype != np.uint8:  # LUT indexing assumes uint8 values
+        return np.clip(
+            factor * img.astype(np.float32) + (1.0 - factor) * mean,
+            0, 255).astype(img.dtype)
     return _value_lut(factor, mean)[img]
 
 

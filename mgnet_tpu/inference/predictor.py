@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,8 +32,6 @@ class Predictor:
                  checkpoint_path: Optional[str] = None,
                  calibration_info: Optional[Dict] = None,
                  dataset_name: Optional[str] = None):
-        import jax
-
         self.cfg = cfg
         self.model = build_model(cfg)
         if params is None:
@@ -221,10 +220,25 @@ class Predictor:
                 else np.ones((images_resized.shape[0],), np.float32))
         fn = self.fused
         if outputs is not None:
+            # validate BEFORE compiling: a bad key inside the jitted
+            # filtered closure would surface as a bare trace-time KeyError
+            available = set()
+            if self.cfg.WITH_PANOPTIC:
+                available |= {"sem_seg", "center", "offset", "panoptic"}
+            if self.cfg.WITH_DEPTH:
+                available.add("depth")
+                if self.cfg.MODEL.POST_PROCESSING.USE_DGC_SCALING:
+                    available.add("points")
+            bad = [k for k in outputs if k not in available]
+            if bad:
+                raise ValueError(
+                    f"predict_batch outputs {bad} not produced by this "
+                    f"config (available: {sorted(available)})")
+            if "points" in outputs and camera_matrix is None:
+                raise ValueError(
+                    "'points' requires camera_matrix (DGC unprojection)")
             key = tuple(outputs)
             if key not in self._fused_filtered:
-                import jax
-
                 raw = self._fused_raw
 
                 def filtered(params, batch_stats, image, _keys=key,

@@ -161,10 +161,13 @@ def _scale_by_tree(mult_tree: Any) -> optax.GradientTransformation:
 def build_optimizer(cfg, params) -> Tuple[optax.GradientTransformation, Callable]:
     """Build the optax chain for MGNet training.
 
-    Order (matching torch semantics): additive weight decay into the
-    gradient -> global-norm clip (full_model, reference train_net.py:129-135
-    clips before the optimizer) -> Adam/SGD moment rescaling -> per-group
-    LR multipliers -> negative schedule scale.
+    Order (matching torch semantics, reference train_net.py:118-154):
+    global-norm clip on the RAW gradients (FullModelGradientClippingOptimizer
+    clips inside step() BEFORE the base optimizer runs) -> weight decay
+    (Adam/SGD fold L2 into the clipped gradient; AdamW decouples it, adding
+    wd*param to the rescaled update so it is NOT clipped and NOT seen by the
+    moments) -> moment rescaling -> per-group LR multipliers -> negative
+    schedule scale.
     """
     s = cfg.SOLVER
     name = s.LR_SCHEDULER_NAME
@@ -182,12 +185,15 @@ def build_optimizer(cfg, params) -> Tuple[optax.GradientTransformation, Callable
 
     chain = []
     masks = weight_decay_mask_trees(params)
-    for group, wd in (("weight", s.WEIGHT_DECAY), ("bias", s.WEIGHT_DECAY_BIAS),
-                      ("norm", s.WEIGHT_DECAY_NORM)):
-        if wd and wd > 0:
-            chain.append(optax.masked(
-                optax.add_decayed_weights(wd), masks[group]
-            ))
+
+    def append_decay():
+        for group, wd in (("weight", s.WEIGHT_DECAY),
+                          ("bias", s.WEIGHT_DECAY_BIAS),
+                          ("norm", s.WEIGHT_DECAY_NORM)):
+            if wd and wd > 0:
+                chain.append(optax.masked(
+                    optax.add_decayed_weights(wd), masks[group]
+                ))
 
     if s.CLIP_GRADIENTS.ENABLED:
         assert s.CLIP_GRADIENTS.CLIP_TYPE == "full_model", (
@@ -196,11 +202,19 @@ def build_optimizer(cfg, params) -> Tuple[optax.GradientTransformation, Callable
         chain.append(optax.clip_by_global_norm(s.CLIP_GRADIENTS.CLIP_VALUE))
 
     opt = s.OPTIMIZER.upper()
-    if opt in ("ADAM", "ADAMW"):
-        # torch Adam defaults (reference uses torch.optim.Adam/AdamW with
-        # default betas/eps, train_net.py:136-154)
+    if opt == "ADAM":
+        # torch Adam folds L2 into the (already clipped) gradient before the
+        # moment estimates; defaults betas/eps (reference train_net.py:136-145).
+        append_decay()
         chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+    elif opt == "ADAMW":
+        # torch AdamW decouples decay: p -= lr*wd*p happens outside the
+        # moments (and is never clipped) — add wd*param AFTER rescaling.
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        append_decay()
     elif opt == "SGD":
+        # torch SGD folds L2 into the gradient before the momentum buffer.
+        append_decay()
         chain.append(optax.trace(decay=s.MOMENTUM, nesterov=False))
     else:
         raise ValueError(f"Unknown optimizer: {opt}")

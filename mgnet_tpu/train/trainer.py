@@ -20,8 +20,6 @@ import numpy as np
 from mgnet_tpu.data import (
     DatasetCatalog,
     MetadataCatalog,
-    TestDatasetMapper,
-    TrainDatasetMapper,
     TrainLoader,
     read_image,
     rgb2id,
@@ -81,7 +79,14 @@ class Trainer:
 
         dataset_name = cfg.DATASETS.TRAIN[0]
         dataset = DatasetCatalog.get(dataset_name)
-        mapper = TrainDatasetMapper(cfg, dataset_name=dataset_name)
+        # dynamic mapper loading from config strings (reference
+        # tools/train_net.py:90-92 via create_object_by_string) — custom
+        # mappers plug in purely via INPUT.TRAIN_DATASET_MAPPER
+        from mgnet_tpu.utils.loader import locate
+
+        mapper = locate(cfg.INPUT.TRAIN_DATASET_MAPPER)(
+            cfg, dataset_name=dataset_name
+        )
         # per-process dataset sharding: each host maps only its slice of
         # every global batch; shard_batch assembles the global array
         self.loader = TrainLoader(
@@ -216,7 +221,12 @@ def evaluate_dataset(cfg, model, params, batch_stats,
     if n_proc > 1:
         dataset = dataset[jax.process_index()::n_proc]
     meta = MetadataCatalog.get(dataset_name)
-    mapper = TestDatasetMapper(cfg, dataset_name=dataset_name)
+    # dynamic mapper loading (reference tools/train_net.py:94-97)
+    from mgnet_tpu.utils.loader import locate
+
+    mapper = locate(cfg.INPUT.TEST_DATASET_MAPPER)(
+        cfg, dataset_name=dataset_name
+    )
     statics = statics_from_meta(cfg, meta)
 
     if cfg.TEST.MSC_FLIP_EVAL:

@@ -4,6 +4,7 @@ from mgnet_tpu.utils.checkpoint import (
     save_params,
 )
 from mgnet_tpu.utils.events import MetricLogger
+from mgnet_tpu.utils.loader import locate
 from mgnet_tpu.utils.profiling import steady_state_timer, trace
 from mgnet_tpu.utils.weights import load_pretrained_npz
 
@@ -12,6 +13,7 @@ __all__ = [
     "save_params",
     "load_params",
     "MetricLogger",
+    "locate",
     "trace",
     "steady_state_timer",
     "load_pretrained_npz",

@@ -127,6 +127,31 @@ def test_trainer_and_eval_end_to_end(mini_dataset):
     assert "AP" in results["instances"]
 
 
+class TracingTrainMapper:
+    """Custom mapper for the dynamic-loading test: wraps the default
+    TrainDatasetMapper and counts instantiations."""
+
+    instances = 0
+
+    def __new__(cls, cfg, dataset_name=None):
+        from mgnet_tpu.data import TrainDatasetMapper
+
+        cls.instances += 1
+        return TrainDatasetMapper(cfg, dataset_name=dataset_name)
+
+
+def test_dynamic_mapper_loading_from_config(mini_dataset):
+    """INPUT.TRAIN_DATASET_MAPPER names the class the Trainer instantiates
+    (reference tools/train_net.py:90-92 create_object_by_string)."""
+    from mgnet_tpu.train.trainer import Trainer
+
+    cfg = tiny_cfg(mini_dataset)
+    cfg.INPUT.TRAIN_DATASET_MAPPER = "test_e2e.TracingTrainMapper"
+    before = TracingTrainMapper.instances
+    Trainer(cfg)
+    assert TracingTrainMapper.instances == before + 1
+
+
 def test_trainer_resume(mini_dataset):
     from mgnet_tpu.train.trainer import Trainer
 

@@ -8,6 +8,13 @@ mg_net.py:523-829) in eval-mode torch; identical randomized weights
 through the production key space (tools/convert_torchvision_weights.py
 layout), and activations must agree to <=1e-4 at every output — catching
 conv-padding, BN, activation, upsample-order and interpolation drift.
+
+Parity-run note: the default training config sets
+MODEL.DEPTH_HEAD.PALLAS_WARP_FAST=True — a reduced-precision bf16x2 warp
+band with measured, test-asserted error bounds (~1e-4 relative gradient
+noise; mgnet_tpu/config.py). Bit-level comparisons against the
+reference's f32 grid_sample training path must set it to False to get
+the exact-to-1-ulp bf16x3 split.
 """
 
 from __future__ import annotations

@@ -32,7 +32,7 @@ PLANE_DEPTHS = (45.0, 30.0, 15.0, 10.0)
 N_SCENES = 6
 
 
-def _texture(seed: int = 7):
+def _texture(seed: int = 7, width: int = W):
     """Multi-octave random texture, [0,1] floats.
 
     Root-cause finding (VERDICT r1 #7): single-octave blurred white noise
@@ -46,16 +46,16 @@ def _texture(seed: int = 7):
     import cv2
 
     rng = np.random.RandomState(seed)
-    tex = np.zeros((H, W + 32, 3), np.float32)
+    tex = np.zeros((H, width + 32, 3), np.float32)
     for sigma, weight in [(1.5, 0.45), (6.0, 0.3), (24.0, 0.25)]:
         n = cv2.GaussianBlur(
-            rng.rand(H, W + 32, 3).astype(np.float32), (0, 0), sigma)
+            rng.rand(H, width + 32, 3).astype(np.float32), (0, 0), sigma)
         n = (n - n.mean()) / (n.std() + 1e-6)
         tex += weight * n
     return (tex - tex.min()) / (np.ptp(tex) + 1e-6)
 
 
-def make_dataset(root: str):
+def make_dataset(root: str, width: int = W):
     from PIL import Image
 
     from mgnet_tpu.data.mapper import id2rgb
@@ -91,7 +91,7 @@ def make_dataset(root: str):
         return slice(lo, lo + H // 4)
 
     # disparity GT encoding the four analytic plane depths
-    depth_gt = np.empty((H, W), np.float32)
+    depth_gt = np.empty((H, width), np.float32)
     for i, d in enumerate(PLANE_DEPTHS):
         depth_gt[band(i)] = d
     disp = BASELINE * FX / depth_gt
@@ -99,13 +99,13 @@ def make_dataset(root: str):
 
     anns = []
     for sc in range(N_SCENES):
-        tex = (_texture(seed=7 + sc) * 255).astype(np.uint8)
+        tex = (_texture(seed=7 + sc, width=width) * 255).astype(np.uint8)
 
         def frame(shift_sign):
-            img = np.empty((H, W, 3), np.uint8)
+            img = np.empty((H, width, 3), np.uint8)
             for i, sh in enumerate(PLANE_SHIFTS):
                 img[band(i)] = np.roll(
-                    tex[band(i)], sh * shift_sign, axis=1)[:, :W]
+                    tex[band(i)], sh * shift_sign, axis=1)[:, :width]
             return img
 
         stem = f"{city}_{sc:06d}_000010"
@@ -116,7 +116,7 @@ def make_dataset(root: str):
                 f"{dirs['seq']}/{city}_{sc:06d}_{i:06d}_leftImg8bit.png")
 
         # panoptic gt (unused for depth; keeps the mapper uniform)
-        pan = np.full((H, W), 1 * 1000, np.int32)
+        pan = np.full((H, width), 1 * 1000, np.int32)
         Image.fromarray(id2rgb(pan)).save(
             f"{dirs['gt']}/{stem}_gtFine_panoptic.png")
         anns.append({
@@ -127,7 +127,7 @@ def make_dataset(root: str):
         })
         with open(f"{dirs['cam']}/{stem}_camera.json", "w") as f:
             json.dump({"intrinsic": {"fx": FX, "fy": FX,
-                                     "u0": (W - 1) / 2,
+                                     "u0": (width - 1) / 2,
                                      "v0": (H - 1) / 2},
                        "extrinsic": {"baseline": BASELINE, "z": 1.2}},
                       f)
@@ -139,29 +139,33 @@ def make_dataset(root: str):
         json.dump({"annotations": anns, "categories": []}, f)
 
 
-def _analytic_frames():
+def _analytic_frames(width: int = W):
     """In-memory version of the synthetic two-plane scene, [0,1] floats."""
-    tex = _texture()
+    tex = _texture(width=width)
 
     def frame(sign):
-        img = np.empty((H, W, 3), np.float32)
-        img[: H // 2] = np.roll(tex[: H // 2], 3 * sign, axis=1)[:, :W]
-        img[H // 2:] = np.roll(tex[H // 2:], 9 * sign, axis=1)[:, :W]
+        img = np.empty((H, width, 3), np.float32)
+        img[: H // 2] = np.roll(
+            tex[: H // 2], 3 * sign, axis=1)[:, :width]
+        img[H // 2:] = np.roll(
+            tex[H // 2:], 9 * sign, axis=1)[:, :width]
         return img
 
     cur, prev, nxt = frame(0), frame(1), frame(-1)
-    K = np.array([[FX, 0, (W - 1) / 2], [0, FX, (H - 1) / 2],
+    K = np.array([[FX, 0, (width - 1) / 2], [0, FX, (H - 1) / 2],
                   [0, 0, 1]], np.float32)[None]
     # pixel shift s at depth d <=> tx = s * d / fx; by construction both
-    # planes give the same camera translation (3*30 == 9*10)
+    # planes give the same camera translation (3*30 == 9*10). FX and the
+    # per-plane pixel shifts are width-independent, so no rescaling is
+    # needed when width changes — only the principal point moves.
     tx = 3.0 * DEPTH_TOP / FX
-    inv_gt = np.full((1, H, W, 1), 1.0 / DEPTH_TOP, np.float32)
+    inv_gt = np.full((1, H, width, 1), 1.0 / DEPTH_TOP, np.float32)
     inv_gt[:, H // 2:] = 1.0 / DEPTH_BOTTOM
     return cur[None], prev[None], nxt[None], K, tx, inv_gt
 
 
 def run_ablation(mode: str, steps: int,
-                 pallas_warp: str = "off") -> int:
+                 pallas_warp: str = "off", width: int = W) -> int:
     """Isolated optimization probes (VERDICT r1 #7 root-cause ablations).
 
     gt_pose:  optimize a per-pixel inverse-depth field with the analytic
@@ -189,7 +193,8 @@ def run_ablation(mode: str, steps: int,
 
     from mgnet_tpu.losses.photometric import multi_view_photometric_loss
 
-    cur, prev, nxt, K, tx, inv_gt = map(jnp.asarray, _analytic_frames())
+    cur, prev, nxt, K, tx, inv_gt = map(
+        jnp.asarray, _analytic_frames(width=width))
     gt_pose = jnp.asarray(
         [[[tx, 0, 0, 0, 0, 0], [-tx, 0, 0, 0, 0, 0]]], jnp.float32
     )
@@ -213,7 +218,7 @@ def run_ablation(mode: str, steps: int,
     if mode == "gt_pose":
         # head-equivalent parameterization inv = sigmoid(p)/0.5, init
         # near 15 m (between the 10/30 m planes)
-        param = jnp.full((1, H, W, 1), -3.4, jnp.float32)
+        param = jnp.full((1, H, width, 1), -3.4, jnp.float32)
         loss_fn = lambda p: photo(jax.nn.sigmoid(p) / 0.5, gt_pose)  # noqa: E731
         lr = 3e-2
     elif mode == "gt_depth":
@@ -313,20 +318,18 @@ def main():
                         "encoder, a collapse-prone start on the tiny "
                         "probe scene")
     args = p.parse_args()
-
-    if args.width != W:
-        globals()["W"] = args.width
+    width = args.width
 
     if args.mode != "full":
         return run_ablation(args.mode, args.steps,
-                            pallas_warp=args.pallas_warp)
+                            pallas_warp=args.pallas_warp, width=width)
 
     from mgnet_tpu.config import get_default_config
     from mgnet_tpu.data.cityscapes import register_all_cityscapes_scene_seg
     from mgnet_tpu.train.trainer import Trainer, evaluate_dataset
 
     tmp = tempfile.mkdtemp(prefix="mgnet_depthfit_")
-    make_dataset(tmp)
+    make_dataset(tmp, width=width)
     register_all_cityscapes_scene_seg(tmp)
 
     cfg = get_default_config()
@@ -339,12 +342,12 @@ def main():
     cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9
     cfg.TEST.EVAL_PERIOD = 0
     cfg.INPUT.MIN_SIZE_TRAIN = (H,)
-    cfg.INPUT.MAX_SIZE_TRAIN = W
+    cfg.INPUT.MAX_SIZE_TRAIN = width
     cfg.INPUT.CROP.ENABLED = False
     cfg.INPUT.COLOR_JITTER.ENABLED = False
     cfg.INPUT.RANDOM_FLIP = "none"
     cfg.INPUT.MIN_SIZE_TEST = H
-    cfg.INPUT.MAX_SIZE_TEST = W
+    cfg.INPUT.MAX_SIZE_TEST = width
     cfg.INPUT.IGNORED_CATEGORIES_IN_DEPTH = []
     # exact synthetic correspondences: the static-scene automask shortcut
     # would otherwise dominate the loss and starve depth of gradient
