@@ -259,13 +259,17 @@ def multi_view_photometric_loss(
     mask_y = mask[:, :-1, :]
     msum_x = jnp.maximum(jnp.sum(mask_x), 1.0)
     msum_y = jnp.maximum(jnp.sum(mask_y), 1.0)
+    # Per-scale weight is 1/2^i with NO extra /2: the reference sums the
+    # x and y masked means directly (loss.py:281-293). A former /2.0 here
+    # silently halved the smoothness term — caught by the golden ladder
+    # (tests/test_golden_losses.py::test_photometric_golden).
     smoothness_loss = sum(
         (jnp.sum(jnp.abs(
             (inv_norm[i][:, :, :-1] - inv_norm[i][:, :, 1:]) * weights_x
         ) * mask_x) / msum_x
          + jnp.sum(jnp.abs(
             (inv_norm[i][:, :-1, :] - inv_norm[i][:, 1:, :]) * weights_y
-         ) * mask_y) / msum_y) / 2**i / 2.0
+         ) * mask_y) / msum_y) / 2**i
         for i in range(n)
     ) / n
 

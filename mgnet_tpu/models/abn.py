@@ -64,31 +64,113 @@ _INITS = {
 }
 
 
+class BatchNormTorch(nn.Module):
+    """BatchNorm with torch/inplace_abn-exact training semantics.
+
+    Same math and variable layout ('scale'/'bias' params, 'mean'/'var'
+    batch_stats) as flax nn.BatchNorm, with two reference-parity fixes the
+    golden gradient ladder surfaced (tests/test_golden_train_step.py):
+
+    * ``fast_variance=False`` computes var in two passes,
+      mean((x - mean)^2), like torch. The default one-pass
+      E[x^2] - E[x]^2 catastrophically cancels on POOLED inputs
+      ([B, 1, 1, C] attention/GCM sites, N = batch): measured ~3-6%
+      backbone gradient error at batch 2 in f32. Spatial BNs keep the
+      fast path (probe-verified exact to 1e-11 cosine).
+    * The running-variance update stores the UNBIASED variance
+      (var * n/(n-1)), matching torch BatchNorm/inplace_abn
+      (reference: every ABN site, e.g. res_net.py:49). flax stores the
+      biased batch variance — a 9% eval-var understatement at n=12 on
+      the pooled sites.
+
+    Statistics are computed in float32 regardless of ``dtype``;
+    ``axis_name`` pmeans them across the mesh axis under shard_map/pmap
+    (cross-replica sync-BN; under global-batch pjit the plain mean is
+    already global).
+    """
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    fast_variance: bool = True
+    axis_name: Optional[str] = None
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 use_running_average: bool = False) -> jnp.ndarray:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,),
+                           jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,),
+                          jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros,
+                                None, (features,), jnp.float32)
+        ra_var = self.variable("batch_stats", "var", nn.initializers.ones,
+                               None, (features,), jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            axes = tuple(range(x.ndim - 1))
+
+            def dist_mean(*vals):
+                mus = tuple(v.mean(axes) for v in vals)
+                if self.axis_name is not None:
+                    stacked = jax.lax.pmean(jnp.stack(mus), self.axis_name)
+                    mus = tuple(stacked[i] for i in range(len(vals)))
+                return mus if len(vals) > 1 else mus[0]
+
+            if self.fast_variance:
+                mean, mean2 = dist_mean(xf, xf * xf)
+                var = jnp.maximum(0.0, mean2 - mean * mean)
+            else:
+                mean = dist_mean(xf)
+                var = dist_mean(jnp.square(xf - mean))
+
+            if not self.is_initializing():
+                n = 1
+                for ax in axes:
+                    n *= x.shape[ax]
+                if self.axis_name is not None:
+                    n = n * jax.lax.psum(1, self.axis_name)
+                correction = n / (n - 1) if n > 1 else 1.0
+                m = self.momentum
+                ra_mean.value = m * ra_mean.value + (1 - m) * mean
+                ra_var.value = m * ra_var.value + (1 - m) * var * correction
+
+        mul = jax.lax.rsqrt(var + self.epsilon) * scale
+        y = (x.astype(jnp.float32) - mean) * mul + bias
+        return y.astype(self.dtype or x.dtype)
+
+
 class ABN(nn.Module):
     """BatchNorm + activation over the channel axis of NHWC tensors.
 
     activation: 'leaky_relu' (slope 0.01, inplace_abn default) or 'identity'.
     Cross-replica sync happens implicitly through global-batch pjit
     semantics; ``axis_name`` forces an explicit pmean when tracing under
-    shard_map/pmap.
+    shard_map/pmap. Set ``fast_variance=False`` at pooled ([B,1,1,C])
+    sites — see BatchNormTorch.
     """
 
     activation: str = "leaky_relu"
     momentum: float = BN_MOMENTUM
     epsilon: float = BN_EPS
+    fast_variance: bool = True
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        y = nn.BatchNorm(
-            use_running_average=not train,
+        y = BatchNormTorch(
             momentum=self.momentum,
             epsilon=self.epsilon,
+            fast_variance=self.fast_variance,
             axis_name=self.axis_name,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+            name="BatchNorm_0",
+        )(x, use_running_average=not train)
         if self.activation == "leaky_relu":
             y = nn.leaky_relu(y, negative_slope=0.01)
         elif self.activation != "identity":
@@ -105,6 +187,7 @@ class ConvABN(nn.Module):
     strides: Sequence[int] = (1, 1)
     activation: str = "leaky_relu"
     init_method: str = "default"
+    fast_variance: bool = True
     axis_name: Optional[str] = None
     dtype: Optional[jnp.dtype] = None
 
@@ -127,6 +210,7 @@ class ConvABN(nn.Module):
         )(x)
         return ABN(
             activation=self.activation,
+            fast_variance=self.fast_variance,
             axis_name=self.axis_name,
             dtype=self.dtype,
             name="abn",

@@ -50,8 +50,11 @@ class GlobalContextModule(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         y = _global_avg_pool(x)
+        # pooled [B,1,1,C] input: two-pass variance (fast E[x^2]-E[x]^2
+        # cancels catastrophically at N=batch; see abn.BatchNormTorch)
         y = ConvABN(
             self.out_channels, kernel_size=(1, 1), init_method=self.init_method,
+            fast_variance=False,
             axis_name=self.axis_name, dtype=self.dtype, name="conv",
         )(y, train=train)
         # nearest-upsample of a 1x1 map == broadcast
@@ -77,10 +80,11 @@ class AttentionRefinementModule(nn.Module):
             axis_name=self.axis_name, dtype=self.dtype, name="conv",
         )(x, train=train)
         atten = _global_avg_pool(fm)
+        # pooled input: two-pass variance (see GlobalContextModule note)
         atten = ConvABN(
             self.out_channels, kernel_size=(1, 1), activation="identity",
-            init_method=self.init_method, axis_name=self.axis_name,
-            dtype=self.dtype, name="attention_conv",
+            init_method=self.init_method, fast_variance=False,
+            axis_name=self.axis_name, dtype=self.dtype, name="attention_conv",
         )(atten, train=train)
         atten = nn.sigmoid(atten)
         return fm * atten

@@ -41,6 +41,15 @@ def _hwio(w: torch.Tensor) -> np.ndarray:
     return w.detach().numpy().transpose(2, 3, 1, 0)
 
 
+def _pick(p: torch.Tensor, grad: bool) -> torch.Tensor:
+    """The parameter itself, or its gradient (for golden GRADIENT parity:
+    the same key space then maps torch grads onto flax grad leaves)."""
+    if grad:
+        assert p.grad is not None, "call backward() before grad extraction"
+        return p.grad
+    return p
+
+
 class EvalABN(nn.Module):
     """Eval-mode ABN: BatchNorm (running stats) + leaky_relu(0.01)/identity.
 
@@ -75,14 +84,16 @@ class EvalABN(nn.Module):
             self.bn.running_var.copy_(
                 0.5 + torch.rand(self.bn.running_var.shape, generator=gen))
 
-    def flax_weights(self, prefix: str) -> Dict[str, np.ndarray]:
+    def flax_weights(self, prefix: str, grad: bool = False) -> Dict[str, np.ndarray]:
         bn = self.bn
-        return {
-            f"{prefix}/scale": bn.weight.detach().numpy(),
-            f"{prefix}/bias": bn.bias.detach().numpy(),
-            f"{prefix}/mean": bn.running_mean.detach().numpy(),
-            f"{prefix}/var": bn.running_var.detach().numpy(),
+        out = {
+            f"{prefix}/scale": _pick(bn.weight, grad).detach().numpy(),
+            f"{prefix}/bias": _pick(bn.bias, grad).detach().numpy(),
         }
+        if not grad:  # running stats are buffers; no gradient leaves
+            out[f"{prefix}/mean"] = bn.running_mean.detach().numpy()
+            out[f"{prefix}/var"] = bn.running_var.detach().numpy()
+        return out
 
 
 class ConvABN(nn.Module):
@@ -99,9 +110,9 @@ class ConvABN(nn.Module):
     def forward(self, x):
         return self.abn(self.conv(x))
 
-    def flax_weights(self, prefix: str) -> Dict[str, np.ndarray]:
-        out = {f"{prefix}/conv/kernel": _hwio(self.conv.weight)}
-        out.update(self.abn.flax_weights(f"{prefix}/abn/BatchNorm_0"))
+    def flax_weights(self, prefix: str, grad: bool = False) -> Dict[str, np.ndarray]:
+        out = {f"{prefix}/conv/kernel": _hwio(_pick(self.conv.weight, grad))}
+        out.update(self.abn.flax_weights(f"{prefix}/abn/BatchNorm_0", grad))
         return out
 
 
@@ -115,8 +126,8 @@ class Stem(nn.Module):
     def forward(self, x):
         return F.max_pool2d(self.conv1(x), kernel_size=3, stride=2, padding=1)
 
-    def flax_weights(self, prefix: str) -> Dict[str, np.ndarray]:
-        return self.conv1.flax_weights(f"{prefix}/conv1")
+    def flax_weights(self, prefix: str, grad: bool = False) -> Dict[str, np.ndarray]:
+        return self.conv1.flax_weights(f"{prefix}/conv1", grad)
 
 
 class BasicBlock(nn.Module):
@@ -138,11 +149,11 @@ class BasicBlock(nn.Module):
         s = x if self.shortcut is None else self.shortcut(x)
         return F.relu(y + s)
 
-    def flax_weights(self, prefix: str) -> Dict[str, np.ndarray]:
-        out = self.conv1.flax_weights(f"{prefix}/conv1")
-        out.update(self.conv2.flax_weights(f"{prefix}/conv2"))
+    def flax_weights(self, prefix: str, grad: bool = False) -> Dict[str, np.ndarray]:
+        out = self.conv1.flax_weights(f"{prefix}/conv1", grad)
+        out.update(self.conv2.flax_weights(f"{prefix}/conv2", grad))
         if self.shortcut is not None:
-            out.update(self.shortcut.flax_weights(f"{prefix}/shortcut"))
+            out.update(self.shortcut.flax_weights(f"{prefix}/shortcut", grad))
         return out
 
 
@@ -177,11 +188,11 @@ class ResNet(nn.Module):
             feats[name] = y
         return feats
 
-    def flax_weights(self, prefix: str) -> Dict[str, np.ndarray]:
-        out = self.stem.flax_weights(f"{prefix}/stem")
+    def flax_weights(self, prefix: str, grad: bool = False) -> Dict[str, np.ndarray]:
+        out = self.stem.flax_weights(f"{prefix}/stem", grad)
         for name, blocks in zip(self.stage_names, self.stages):
             for b, blk in enumerate(blocks):
-                out.update(blk.flax_weights(f"{prefix}/{name}_block{b}"))
+                out.update(blk.flax_weights(f"{prefix}/{name}_block{b}", grad))
         return out
 
 
@@ -197,8 +208,8 @@ class GCM(nn.Module):
         y = self.conv(x.mean(dim=(2, 3), keepdim=True))
         return y.expand(-1, -1, x.shape[2], x.shape[3])
 
-    def flax_weights(self, prefix: str) -> Dict[str, np.ndarray]:
-        return self.conv.flax_weights(f"{prefix}/conv")
+    def flax_weights(self, prefix: str, grad: bool = False) -> Dict[str, np.ndarray]:
+        return self.conv.flax_weights(f"{prefix}/conv", grad)
 
 
 class ARM(nn.Module):
@@ -216,9 +227,10 @@ class ARM(nn.Module):
             self.attention_conv(fm.mean(dim=(2, 3), keepdim=True)))
         return fm * atten
 
-    def flax_weights(self, prefix: str) -> Dict[str, np.ndarray]:
-        out = self.conv.flax_weights(f"{prefix}/conv")
-        out.update(self.attention_conv.flax_weights(f"{prefix}/attention_conv"))
+    def flax_weights(self, prefix: str, grad: bool = False) -> Dict[str, np.ndarray]:
+        out = self.conv.flax_weights(f"{prefix}/conv", grad)
+        out.update(self.attention_conv.flax_weights(
+            f"{prefix}/attention_conv", grad))
         return out
 
 
@@ -238,10 +250,10 @@ class FFM(nn.Module):
         atten = torch.sigmoid(self.att2(F.relu(self.att1(a))))
         return fm + fm * atten
 
-    def flax_weights(self, prefix: str) -> Dict[str, np.ndarray]:
-        out = self.conv.flax_weights(f"{prefix}/conv")
-        out[f"{prefix}/attention_conv1/kernel"] = _hwio(self.att1.weight)
-        out[f"{prefix}/attention_conv2/kernel"] = _hwio(self.att2.weight)
+    def flax_weights(self, prefix: str, grad: bool = False) -> Dict[str, np.ndarray]:
+        out = self.conv.flax_weights(f"{prefix}/conv", grad)
+        out[f"{prefix}/attention_conv1/kernel"] = _hwio(_pick(self.att1.weight, grad))
+        out[f"{prefix}/attention_conv2/kernel"] = _hwio(_pick(self.att2.weight, grad))
         return out
 
 
@@ -271,12 +283,12 @@ class Decoder(nn.Module):
             last = self.refines[i](last)
         return self.ffm(scales[2], last), msc
 
-    def flax_weights(self, prefix: str) -> Dict[str, np.ndarray]:
+    def flax_weights(self, prefix: str, grad: bool = False) -> Dict[str, np.ndarray]:
         out = {}
         for i in range(2):
-            out.update(self.arms[i].flax_weights(f"{prefix}/arm{i}"))
-            out.update(self.refines[i].flax_weights(f"{prefix}/refine{i}"))
-        out.update(self.ffm.flax_weights(f"{prefix}/ffm"))
+            out.update(self.arms[i].flax_weights(f"{prefix}/arm{i}", grad))
+            out.update(self.refines[i].flax_weights(f"{prefix}/refine{i}", grad))
+        out.update(self.ffm.flax_weights(f"{prefix}/ffm", grad))
         return out
 
 
@@ -291,9 +303,9 @@ class Head(nn.Module):
     def forward(self, x):
         return self.predictor(self.head(x))
 
-    def flax_weights(self, prefix: str) -> Dict[str, np.ndarray]:
-        out = self.head.flax_weights(f"{prefix}/head")
-        out[f"{prefix}/predictor/kernel"] = _hwio(self.predictor.weight)
+    def flax_weights(self, prefix: str, grad: bool = False) -> Dict[str, np.ndarray]:
+        out = self.head.flax_weights(f"{prefix}/head", grad)
+        out[f"{prefix}/predictor/kernel"] = _hwio(_pick(self.predictor.weight, grad))
         return out
 
 
@@ -324,12 +336,12 @@ class PoseCNN(nn.Module):
         y = self.conv4(y).mean(dim=(2, 3))
         return 0.01 * y.view(y.shape[0], self.num_context, 6)
 
-    def flax_weights(self, prefix: str) -> Dict[str, np.ndarray]:
-        out = self.encoder.flax_weights(f"{prefix}/encoder")
+    def flax_weights(self, prefix: str, grad: bool = False) -> Dict[str, np.ndarray]:
+        out = self.encoder.flax_weights(f"{prefix}/encoder", grad)
         for name in ("conv1", "conv2", "conv3", "conv4"):
             conv = getattr(self, name)
-            out[f"{prefix}/{name}/kernel"] = _hwio(conv.weight)
-            out[f"{prefix}/{name}/bias"] = conv.bias.detach().numpy()
+            out[f"{prefix}/{name}/kernel"] = _hwio(_pick(conv.weight, grad))
+            out[f"{prefix}/{name}/bias"] = _pick(conv.bias, grad).detach().numpy()
         return out
 
 
@@ -340,7 +352,7 @@ class MGNetMirror(nn.Module):
     upsampled then x8; inverse depth sigmoid/0.5 then upsampled."""
 
     def __init__(self, num_classes: int = 20, gcm: int = 128,
-                 ffm: int = 256, head: int = 256):
+                 ffm: int = 256, head: int = 256, msc_depth: bool = False):
         super().__init__()
         self.backbone = ResNet()
         self.global_context = GCM(512, gcm)
@@ -351,6 +363,13 @@ class MGNetMirror(nn.Module):
         self.offset_head = Head(ffm, head, 2)
         self.depth_decoder = Decoder(ffm=ffm)
         self.depth_head = Head(ffm, head, 1)
+        # train-time multi-scale heads over the decoder's msc features
+        # (reference mg_net.py:759-768: inputs [ffm s8, msc[1] s16,
+        # msc[0] s32], upsample factors 8/16/32)
+        self.msc_depth = msc_depth
+        if msc_depth:
+            self.depth_head1 = Head(128, head, 1)
+            self.depth_head2 = Head(128, head, 1)
         self.pose_net = PoseCNN()
 
     def forward(self, x) -> Dict[str, torch.Tensor]:
@@ -371,17 +390,47 @@ class MGNetMirror(nn.Module):
         return {"sem_seg": sem, "center": center, "offset": offset,
                 "inv_depth": inv_depth, "depth": depth}
 
-    def flax_weights(self) -> Dict[str, np.ndarray]:
-        out = self.backbone.flax_weights("backbone")
-        out.update(self.global_context.flax_weights("global_context"))
-        out.update(self.sem_decoder.flax_weights("sem_seg_head/decoder"))
-        out.update(self.sem_head.flax_weights("sem_seg_head/head"))
-        out.update(self.ins_decoder.flax_weights("ins_embed_head/decoder"))
-        out.update(self.center_head.flax_weights("ins_embed_head/center_head"))
-        out.update(self.offset_head.flax_weights("ins_embed_head/offset_head"))
-        out.update(self.depth_decoder.flax_weights("depth_head/decoder"))
-        out.update(self.depth_head.flax_weights("depth_head/head0"))
-        out.update(self.pose_net.flax_weights("pose_net"))
+    def forward_train(self, x, x_prev, x_next) -> Dict[str, torch.Tensor]:
+        """Training-branch forward (reference mg_net.py:250-276): heads on
+        the current frame (multi-scale inverse depth when msc_depth), pose
+        net on the 9-channel concat. Run under .train() for batch-stat BN
+        (the single-device view of InPlaceABNSync)."""
+        feats = self.backbone(x)
+        feats["global_context"] = self.global_context(feats["res5"])
+
+        sem, _ = self.sem_decoder(feats)
+        sem = _up8(self.sem_head(sem))
+
+        ins, _ = self.ins_decoder(feats)
+        center = _up8(torch.sigmoid(self.center_head(ins)))
+        offset = _up8(self.offset_head(ins)) * 8.0
+
+        dec, msc = self.depth_decoder(feats)
+        inv_depths = [_up8(torch.sigmoid(self.depth_head(dec)) / 0.5)]
+        if self.msc_depth:
+            inv_depths.append(
+                _up8(torch.sigmoid(self.depth_head1(msc[1])) / 0.5, 16))
+            inv_depths.append(
+                _up8(torch.sigmoid(self.depth_head2(msc[0])) / 0.5, 32))
+
+        poses = self.pose_net(torch.cat([x, x_prev, x_next], dim=1))
+        return {"sem_seg": sem, "center": center, "offset": offset,
+                "inv_depths": inv_depths, "poses": poses}
+
+    def flax_weights(self, grad: bool = False) -> Dict[str, np.ndarray]:
+        out = self.backbone.flax_weights("backbone", grad)
+        out.update(self.global_context.flax_weights("global_context", grad))
+        out.update(self.sem_decoder.flax_weights("sem_seg_head/decoder", grad))
+        out.update(self.sem_head.flax_weights("sem_seg_head/head", grad))
+        out.update(self.ins_decoder.flax_weights("ins_embed_head/decoder", grad))
+        out.update(self.center_head.flax_weights("ins_embed_head/center_head", grad))
+        out.update(self.offset_head.flax_weights("ins_embed_head/offset_head", grad))
+        out.update(self.depth_decoder.flax_weights("depth_head/decoder", grad))
+        out.update(self.depth_head.flax_weights("depth_head/head0", grad))
+        if self.msc_depth:
+            out.update(self.depth_head1.flax_weights("depth_head/head1", grad))
+            out.update(self.depth_head2.flax_weights("depth_head/head2", grad))
+        out.update(self.pose_net.flax_weights("pose_net", grad))
         return out
 
 
