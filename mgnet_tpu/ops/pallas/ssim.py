@@ -163,6 +163,234 @@ def _reference_residual(x, y, ssim_weight):
     return _photometric(x, y, ssim_weight)
 
 
+# ---------------------------------------------------------------------------
+# Fused backward kernel.
+#
+# The VJP of the residual w.r.t. (x, y) routes through five 3x3-pooled
+# statistics. XLA autodiff materializes each pooled map AND its cotangent
+# in HBM (~22 full-res passes per residual, BENCH_NOTES §SSIM round-3);
+# this kernel recomputes the statistics from (x, y) inside VMEM and emits
+# dx, dy in one pass: 3 reads (x, y, g) + 2 writes per element.
+#
+# Math (per channel, gc = g / C): with A = 2 mu_x mu_y + c1,
+# B = 2 sigma_xy + c2, Cd = mu_x^2 + mu_y^2 + c1, D = sigma_x + sigma_y
+# + c2, V = A B / (Cd D), the cotangents on the pooled maps are
+#   gV     = -0.5 * ssim_w * gc * [0 < (1-V)/2 < 1]
+#   gA     = gV * B / (Cd D),      gB = gV * A / (Cd D)
+#   gC     = -gV * V / Cd,         gD = -gV * V / D
+#   q_mu_x = 2 [ mu_y (gA - gB) + mu_x (gC - gD) ]
+#   q_mu_y = 2 [ mu_x (gA - gB) + mu_y (gC - gD) ]
+#   q_xx   = q_yy = gD,            q_xy = 2 gB
+# and, with P^T the transpose of the 3x3 mean pool (a padded box sum / 9),
+#   dx_pad = P^T(q_mu_x) + 2 x_pad P^T(q_xx) + y_pad P^T(q_xy) + dL1
+#   dy_pad = P^T(q_mu_y) + 2 y_pad P^T(q_xx) + x_pad P^T(q_xy) - dL1
+#   dL1    = (1 - ssim_w) gc sign(x_pad - y_pad)   (interior pixels)
+# in REFLECT-PADDED coordinates; the caller folds the padded border rows
+# and columns back onto their reflect sources (rows/cols 1 and H-2/W-2).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(x_hbm, y_hbm, g_hbm, dx_hbm, dy_hbm, *, block_h: int,
+                n_channels: int, ssim_w: float, c1: float, c2: float,
+                w2p: int):
+    """Grid cell (b, i) computes dx/dy for padded rows [i*bh, i*bh+bh).
+
+    Column layout (Mosaic supports neither scatter-add nor mixed-layout
+    concatenate, so every shift below is a STATIC SLICE of a wider
+    buffer): all inputs share one buffer coordinate, buffer col cb =
+    padded col pc + 2 = q col qc + 2, buffer width WB = w2p + 128. dx/dy
+    outputs live at cols [0, w2p) in padded coordinates directly.
+
+    Input arrays carry an 8-row top pad (so the halo'd loads stay
+    sublane-aligned) and zero fill outside the real extents; q rows/cols
+    with g == 0 contribute nothing, so junk statistics in the fill
+    regions are harmless.
+    """
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    bh = block_h
+    wb = x_hbm.shape[3]  # w2p + 128
+    nqw = wb - 2  # q-map buffer width
+
+    def body(xs, ys, gs, dxs, dys, sems):
+        row0 = pl.multiple_of(i * bh, 8)  # array row of padded row i*bh - 8
+
+        for c in range(n_channels):  # static channel loop
+            cp_x = pltpu.make_async_copy(
+                x_hbm.at[b, c, pl.ds(row0, bh + 16)], xs, sems.at[0])
+            cp_y = pltpu.make_async_copy(
+                y_hbm.at[b, c, pl.ds(row0, bh + 16)], ys, sems.at[1])
+            cp_x.start()
+            cp_y.start()
+            if c == 0:
+                cp_g = pltpu.make_async_copy(
+                    g_hbm.at[b, pl.ds(row0, bh + 16)], gs, sems.at[2])
+                cp_g.start()
+                cp_g.wait()
+            cp_x.wait()
+            cp_y.wait()
+
+            x = xs[...]
+            y = ys[...]
+            # local q row j = global q row i*bh - 8 + j; we need q rows
+            # [i*bh - 2, i*bh + bh) = local [6, bh + 8). Stats at q row j
+            # pool padded rows [j, j+2] = local x rows [j, j+2]. In
+            # columns, q buffer col cb pools x buffer cols [cb, cb+2]
+            # (both offset +2 from their spaces, so offsets cancel).
+            nq = bh + 2
+
+            def pool3(v):
+                pacc = None
+                for dy in range(3):
+                    for dx in range(3):
+                        sl = v[6 + dy:6 + dy + nq, dx:dx + nqw]
+                        pacc = sl if pacc is None else pacc + sl
+                return pacc / 9.0
+
+            mu_x = pool3(x)
+            mu_y = pool3(y)
+            pxx = pool3(x * x)
+            pyy = pool3(y * y)
+            pxy = pool3(x * y)
+
+            mu_xx = mu_x * mu_x
+            mu_yy = mu_y * mu_y
+            mu_xy = mu_x * mu_y
+            a = 2.0 * mu_xy + c1
+            bb = 2.0 * (pxy - mu_xy) + c2
+            cd = mu_xx + mu_yy + c1
+            d = (pxx - mu_xx) + (pyy - mu_yy) + c2
+
+            inv_cdd = 1.0 / (cd * d)
+            v = a * bb * inv_cdd
+            loss_half = (1.0 - v) * 0.5
+            active = jnp.logical_and(loss_half > 0.0, loss_half < 1.0)
+
+            gc = gs[6:6 + nq, 0:nqw] * (1.0 / n_channels)
+            gv = jnp.where(active, -0.5 * ssim_w * gc, 0.0)
+            ga = gv * bb * inv_cdd
+            gb2 = gv * a * inv_cdd
+            gcd = -(gv * v) / cd
+            gd = -(gv * v) / d
+
+            gab = ga - gb2
+            gcdd = gcd - gd
+            q_mu_x = 2.0 * (mu_y * gab + mu_x * gcdd)
+            q_mu_y = 2.0 * (mu_x * gab + mu_y * gcdd)
+            q_xx = gd
+            q_xy = 2.0 * gb2
+
+            def pool_t(q):
+                """P^T: padded-space box sum /9 of the q-space cotangent.
+
+                dx_pad row r (global i*bh + r) sums q rows [r-2, r] =
+                local q rows [r, r+2]; dx_pad col pc sums q cols
+                [pc-2, pc] = q buffer cols [pc, pc+2]."""
+                rs = (q[0:bh] + q[1:bh + 1] + q[2:bh + 2]) / 9.0
+                return rs[:, 0:w2p] + rs[:, 1:1 + w2p] + rs[:, 2:2 + w2p]
+
+            t_mu_x = pool_t(q_mu_x)
+            t_mu_y = pool_t(q_mu_y)
+            t_xx = pool_t(q_xx)
+            t_xy = pool_t(q_xy)
+
+            # padded-space x/y at cols [0, w2p) = buffer cols [2, 2+w2p)
+            xp = x[8:8 + bh, 2:2 + w2p]
+            yp = y[8:8 + bh, 2:2 + w2p]
+            # L1 term: output pixel (padded row r, padded col pc) reads
+            # gc at q row r-1 (local g row r+7), q col pc-1 = buffer
+            # col pc+1.
+            sgn = jnp.sign(xp - yp)
+            l1 = ((1.0 - ssim_w) / n_channels) * gs[7:7 + bh, 1:1 + w2p] * sgn
+
+            dxs[...] = t_mu_x + 2.0 * xp * t_xx + yp * t_xy + l1
+            dys[...] = t_mu_y + 2.0 * yp * t_xx + xp * t_xy - l1
+
+            cp_dx = pltpu.make_async_copy(
+                dxs, dx_hbm.at[b, c, pl.ds(row0, bh)], sems.at[3])
+            cp_dy = pltpu.make_async_copy(
+                dys, dy_hbm.at[b, c, pl.ds(row0, bh)], sems.at[4])
+            cp_dx.start()
+            cp_dy.start()
+            cp_dx.wait()
+            cp_dy.wait()
+
+    pl.run_scoped(
+        body,
+        xs=pltpu.VMEM((block_h + 16, wb), jnp.float32),
+        ys=pltpu.VMEM((block_h + 16, wb), jnp.float32),
+        gs=pltpu.VMEM((block_h + 16, wb), jnp.float32),
+        dxs=pltpu.VMEM((block_h, w2p), jnp.float32),
+        dys=pltpu.VMEM((block_h, w2p), jnp.float32),
+        sems=pltpu.SemaphoreType.DMA((5,)),
+    )
+
+
+def _bwd_batched(x: jnp.ndarray, y: jnp.ndarray, g: jnp.ndarray,
+                 ssim_w: float, c1: float, c2: float,
+                 interpret: bool = False):
+    """dx, dy [B, H, W, C] from x/y [B, H, W, C] and g [B, H, W, 1]."""
+    bsz, h, w, c = x.shape
+    hp = h + 2  # reflect-padded extent
+    block_h = min(_BLOCK_H, -(-hp // 8) * 8)
+    n_blocks = -(-hp // block_h)
+    rows = n_blocks * block_h + 16  # 8 top pad + block coverage + halo
+    w2p = -(-(w + 2) // 128) * 128  # output width, padded space
+    wb = w2p + 128  # buffer width: data at col offset +2
+
+    pad2 = ((0, 0), (1, 1), (1, 1), (0, 0))
+
+    def prep(v):
+        v = jnp.pad(v.astype(jnp.float32), pad2, mode="reflect")
+        v = jnp.transpose(v, (0, 3, 1, 2))  # [B, C, H+2, W+2]
+        return jnp.pad(v, ((0, 0), (0, 0), (8, rows - 8 - hp),
+                           (2, wb - 2 - (w + 2))))
+
+    xp = prep(x)
+    yp = prep(y)
+    gp = jnp.pad(g[..., 0].astype(jnp.float32),
+                 ((0, 0), (8, rows - 8 - h), (2, wb - 2 - w)))
+
+    dxp, dyp = pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, block_h=block_h, n_channels=c, ssim_w=ssim_w,
+            c1=c1, c2=c2, w2p=w2p,
+        ),
+        grid=(bsz, n_blocks),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bsz, c, n_blocks * block_h, w2p),
+                                 jnp.float32),
+            jax.ShapeDtypeStruct((bsz, c, n_blocks * block_h, w2p),
+                                 jnp.float32),
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xp, yp, gp)
+
+    def fold(dpad):
+        # reflect-pad transpose: padded row/col -1 sourced from row/col 1,
+        # padded row/col N from N-2 (torch-style reflect, edge excluded)
+        dpad = dpad[:, :, :hp, :w + 2]
+        dpad = dpad.at[:, :, 2].add(dpad[:, :, 0])
+        dpad = dpad.at[:, :, h - 1].add(dpad[:, :, h + 1])
+        dpad = dpad.at[:, :, :, 2].add(dpad[:, :, :, 0])
+        dpad = dpad.at[:, :, :, w - 1].add(dpad[:, :, :, w + 1])
+        return jnp.transpose(dpad[:, :, 1:1 + h, 1:1 + w], (0, 2, 3, 1))
+
+    return fold(dxp), fold(dyp)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
 def _residual_with_vjp(x, y, ssim_w, c1, c2, interpret):
     return _residual_batched(x, y, ssim_w, c1, c2, interpret)[..., None]
@@ -173,11 +401,8 @@ def _residual_fwd(x, y, ssim_w, c1, c2, interpret):
 
 
 def _residual_bwd(ssim_w, c1, c2, interpret, res, g):
-    # Backward via the XLA reference formulation (identical numerics);
-    # the Pallas forward saves the HBM traffic on the hot fwd path.
     x, y = res
-    _, vjp = jax.vjp(lambda a, b: _reference_residual(a, b, ssim_w), x, y)
-    return vjp(g)
+    return _bwd_batched(x, y, g, ssim_w, c1, c2, interpret)
 
 
 _residual_with_vjp.defvjp(_residual_fwd, _residual_bwd)

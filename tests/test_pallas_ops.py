@@ -46,6 +46,31 @@ def test_fused_photometric_gradient():
     )
 
 
+@pytest.mark.parametrize("shape", [(1, 40, 56, 3), (2, 130, 200, 3)])
+def test_fused_photometric_bwd_kernel_exact(shape):
+    """The fused Pallas BACKWARD (ops/pallas/ssim._bwd_batched) must match
+    the XLA autodiff of the reference residual for both inputs under a
+    non-uniform upstream cotangent — including the reflect-pad fold at the
+    borders and the L1 sign term — at odd, non-lane-aligned shapes."""
+    import jax
+
+    from mgnet_tpu.ops.pallas.ssim import _bwd_batched
+
+    x = jnp.asarray(RNG.rand(*shape), jnp.float32)
+    y = jnp.asarray((RNG.rand(*shape) * 0.9 + 0.05), jnp.float32)
+    g = jnp.asarray(RNG.randn(shape[0], shape[1], shape[2], 1), jnp.float32)
+
+    _, vjp = jax.vjp(lambda a, b: _photometric(a, b, 0.85), x, y)
+    dx_ref, dy_ref = vjp(g)
+
+    dx, dy = _bwd_batched(x, y, g, 0.85, 1e-4, 9e-4, interpret=True)
+    scale = float(jnp.max(jnp.abs(dx_ref))) + 1e-12
+    np.testing.assert_allclose(np.asarray(dx) / scale,
+                               np.asarray(dx_ref) / scale, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dy) / scale,
+                               np.asarray(dy_ref) / scale, atol=2e-5)
+
+
 def _sfm_coords(b, h, w, scale=1.0, jitter=0.5, shift=(0.0, 0.0), seed=0):
     """SfM-like warp coordinates: radial scale + shift + gaussian jitter."""
     rng = np.random.RandomState(seed)

@@ -30,9 +30,10 @@ def main():
     p.add_argument("--no-depth", action="store_true")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--no-pallas-ssim", action="store_true",
-                   help="disable the Pallas SSIM forward (its backward "
-                        "re-runs the XLA formulation, so in TRAINING the "
-                        "kernel adds a forward — measure both ways)")
+                   help="force the XLA SSIM path")
+    p.add_argument("--pallas-ssim", action="store_true",
+                   help="enable the fused Pallas SSIM fwd+bwd kernels "
+                        "(ops/pallas/ssim.py) in the photometric loss")
     p.add_argument("--accum", type=int, default=1,
                    help="SOLVER.GRAD_ACCUM_STEPS: --batch is the GLOBAL "
                         "batch, scanned as accum sequential micro-batches "
@@ -57,6 +58,8 @@ def main():
         cfg.SOLVER.GRAD_ACCUM_STEPS = args.accum
     if args.no_pallas_ssim:
         cfg.MODEL.DEPTH_HEAD.USE_PALLAS_SSIM = False
+    elif args.pallas_ssim:
+        cfg.MODEL.DEPTH_HEAD.USE_PALLAS_SSIM = True
 
     model = build_model(cfg)
     state = create_train_state(
