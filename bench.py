@@ -111,7 +111,41 @@ def build_pipeline(height=1024, width=2048, use_pallas_fusion=None):
             image, K, cam_h)
 
 
+def _repeat_main(n: int) -> int:
+    """--repeat N: run bench.py N times in FRESH processes and report
+    mean±σ (VERDICT r3 #5: the headline needs a variance bar — 80.19 fps
+    (r2) vs 78.72 (r3) is meaningless without one). Each child process
+    re-dispatches, re-jits (warm persistent cache) and re-measures; the
+    parent prints one JSON line with the aggregate plus per-run values."""
+    import subprocess
+
+    vals = []
+    for i in range(n):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            capture_output=True, text=True, timeout=1800,
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        rec = json.loads(line)
+        vals.append(rec["value"])
+        print(f"# run {i + 1}/{n}: {rec['value']} fps", file=sys.stderr)
+    mean = float(np.mean(vals))
+    std = float(np.std(vals, ddof=1)) if n > 1 else 0.0
+    print(json.dumps({
+        "metric": "joint_panoptic_depth_inference_fps_1024x2048",
+        "value": round(mean, 3),
+        "unit": "fps",
+        "vs_baseline": round(mean / 30.0, 4),
+        "std": round(std, 3),
+        "runs": [round(v, 3) for v in vals],
+    }))
+    return 0
+
+
 def main():
+    if "--repeat" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--repeat") + 1])
+        return _repeat_main(n)
     breakdown = "--breakdown" in sys.argv
     (cfg, model, params, batch_stats, statics, fused_raw,
      image, K, cam_h) = build_pipeline()
@@ -130,6 +164,26 @@ def main():
 
     sec = chained_seconds_per_iter(full_step, iters=50)
     fps = 1.0 / sec
+
+    if "--roofline" in sys.argv:
+        # XLA cost model of the exact fused-frame executable vs v5e peaks
+        # (197 TFLOP/s bf16, 819 GB/s HBM), VERDICT r3 #4. Pallas kernels
+        # (panoptic fusion) opt out of XLA's FLOP count; the numbers are
+        # the XLA-visible compute/traffic of the same timed executable.
+        try:
+            ca = jax.jit(full_step).lower(
+                jnp.float32(0.0)).compile().cost_analysis()
+            if isinstance(ca, list):
+                ca = ca[0]
+            fl, by = float(ca.get("flops", 0)), float(
+                ca.get("bytes accessed", 0))
+            print(f"# fused frame: {fl / 1e9:.1f} GFLOP, "
+                  f"{by / 1e9:.2f} GB accessed, {sec * 1e3:.2f} ms -> "
+                  f"MFU {100 * fl / sec / 197e12:.2f}% (bf16 peak), "
+                  f"HBM BW {100 * by / sec / 819e9:.1f}%",
+                  file=sys.stderr)
+        except Exception as e:
+            print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
 
     if breakdown:
         from mgnet_tpu.train.step import normalize_images

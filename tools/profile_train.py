@@ -143,10 +143,27 @@ def _unpatch(saved, cu, ph):
         ph._photometric_planar = saved["res"]
 
 
-def time_variant(name, iters=8, warmup=2, batch=8, size=1024, **kw):
+def time_variant(name, iters=8, warmup=2, batch=8, size=1024,
+                 costs_out=None, **kw):
     step, state, device_batch, saved, (cu, ph) = build_step(
         batch=batch, size=size, **kw)
     try:
+        if costs_out is not None:
+            # XLA's own cost model for the same executable we time:
+            # algebraic FLOPs + estimated HBM bytes accessed. Lowering
+            # is cheap; compilation hits the persistent cache.
+            try:
+                ca = step.lower(state, device_batch).compile().cost_analysis()
+                if isinstance(ca, list):  # older jax returns [dict]
+                    ca = ca[0]
+                costs_out[name] = {
+                    "flops": float(ca.get("flops", 0.0)),
+                    "bytes": float(ca.get("bytes accessed", 0.0)),
+                }
+            except Exception as e:  # pragma: no cover - backend-specific
+                print(f"# cost_analysis unavailable for {name}: {e}",
+                      file=sys.stderr)
+                costs_out[name] = {"flops": 0.0, "bytes": 0.0}
         t0 = time.perf_counter()
         state, metrics = step(state, device_batch)
         float(metrics["loss_total"])  # true sync: D2H through the relay
@@ -182,45 +199,99 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--iters", type=int, default=8)
+    p.add_argument("--roofline", action="store_true",
+                   help="add XLA cost_analysis FLOPs/bytes per telescoping "
+                        "row and report MFU + HBM-BW utilization against "
+                        "v5e peaks (VERDICT r3 #4)")
+    p.add_argument("--peak-tflops", type=float, default=197.0,
+                   help="accelerator peak (v5e bf16 = 197 TFLOP/s)")
+    p.add_argument("--peak-gbs", type=float, default=819.0,
+                   help="HBM bandwidth peak (v5e = 819 GB/s)")
     args = p.parse_args()
     b, s = args.batch, args.size
+    costs = {} if args.roofline else None
 
     t_full = time_variant(
-        "T0 full step", args.iters, batch=b, size=s, cfg_overrides={})
+        "T0 full step", args.iters, batch=b, size=s, cfg_overrides={},
+        costs_out=costs)
     t_nowarp = time_variant(
         "T1 surrogate warp", args.iters, batch=b, size=s, cfg_overrides={},
-        patch_warp=True)
+        patch_warp=True, costs_out=costs)
     t_l1 = time_variant(
         "T2 + L1-only residual", args.iters, batch=b, size=s,
-        cfg_overrides={}, patch_warp=True, patch_residual=True)
+        cfg_overrides={}, patch_warp=True, patch_residual=True,
+        costs_out=costs)
     t_nodepth = time_variant(
         "T3 no depth branch", args.iters, batch=b, size=s,
-        cfg_overrides={"WITH_DEPTH": False})
+        cfg_overrides={"WITH_DEPTH": False}, costs_out=costs)
     t_ce = time_variant(
         "T4 + plain CE", args.iters, batch=b, size=s,
         cfg_overrides={"WITH_DEPTH": False,
-                       "MODEL.SEM_SEG_HEAD.LOSS_TYPE": "cross_entropy"})
+                       "MODEL.SEM_SEG_HEAD.LOSS_TYPE": "cross_entropy"},
+        costs_out=costs)
     t_fwd = time_variant(
         "T5 forward-only", args.iters, batch=b, size=s,
         cfg_overrides={"WITH_DEPTH": False,
                        "MODEL.SEM_SEG_HEAD.LOSS_TYPE": "cross_entropy"},
-        forward_only=True)
+        forward_only=True, costs_out=costs)
 
-    ledger = {
-        "warp_gathers_6x_fwd_bwd": t_full - t_nowarp,
-        "ssim_residuals_8x_fwd_bwd": t_nowarp - t_l1,
-        "depth_branch_rest (pose+decoder+3 upsamples+smoothness+reduce+L1)":
-            t_l1 - t_nodepth,
-        "ohem_overhead": t_nodepth - t_ce,
-        "panoptic_backward_plus_optimizer": t_ce - t_fwd,
-        "panoptic_forward (backbone+GCM+2 decoders+CE fwd)": t_fwd,
-    }
-    print(json.dumps({
+    times = [t_full, t_nowarp, t_l1, t_nodepth, t_ce, t_fwd]
+    names = [
+        "warp_gathers_6x_fwd_bwd",
+        "ssim_residuals_8x_fwd_bwd",
+        "depth_branch_rest (pose+decoder+3 upsamples+smoothness+reduce+L1)",
+        "ohem_overhead",
+        "panoptic_backward_plus_optimizer",
+        "panoptic_forward (backbone+GCM+2 decoders+CE fwd)",
+    ]
+    ledger = {}
+    for i, name in enumerate(names):
+        nxt = times[i + 1] if i + 1 < len(times) else 0.0
+        ledger[name] = times[i] - nxt
+    out = {
         "batch": b, "size": s,
         "full_step_s": round(t_full, 4),
         "ledger_s": {k: round(v, 4) for k, v in ledger.items()},
         "ledger_sum_s": round(sum(ledger.values()), 4),
-    }, indent=2))
+    }
+
+    if args.roofline:
+        # Telescoping FLOPs/bytes: row i = cost(variant i) - cost(i+1),
+        # the same construction as the time ledger, so rows sum to the
+        # full step's totals. Pallas kernels opt out of XLA's FLOP count
+        # (their cost shows in rows as a DECREASE vs the surrogate) —
+        # per-row numbers are the XLA-visible compute only; the full-step
+        # MFU row is the honest headline.
+        labels = ["T0 full step", "T1 surrogate warp",
+                  "T2 + L1-only residual", "T3 no depth branch",
+                  "T4 + plain CE", "T5 forward-only"]
+        peak_f = args.peak_tflops * 1e12
+        peak_b = args.peak_gbs * 1e9
+        roof = {}
+        for i, name in enumerate(names):
+            c0 = costs[labels[i]]
+            c1 = (costs[labels[i + 1]] if i + 1 < len(labels)
+                  else {"flops": 0.0, "bytes": 0.0})
+            dt = max(ledger[name], 1e-9)
+            fl = c0["flops"] - c1["flops"]
+            by = c0["bytes"] - c1["bytes"]
+            roof[name] = {
+                "gflops": round(fl / 1e9, 1),
+                "gbytes": round(by / 1e9, 2),
+                "mfu_pct": round(100 * fl / dt / peak_f, 2),
+                "hbm_bw_pct": round(100 * by / dt / peak_b, 1),
+            }
+        c_full = costs["T0 full step"]
+        roof["FULL STEP"] = {
+            "gflops": round(c_full["flops"] / 1e9, 1),
+            "gbytes": round(c_full["bytes"] / 1e9, 2),
+            "mfu_pct": round(100 * c_full["flops"] / t_full / peak_f, 2),
+            "hbm_bw_pct": round(100 * c_full["bytes"] / t_full / peak_b, 1),
+        }
+        out["roofline"] = roof
+        out["peaks"] = {"tflops_bf16": args.peak_tflops,
+                        "hbm_gbs": args.peak_gbs}
+    print(json.dumps(out, indent=2))
 
 
 if __name__ == "__main__":
