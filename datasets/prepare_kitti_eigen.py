@@ -2,8 +2,10 @@
 """Convert KITTI pseudo-label instanceIds PNGs to COCO-panoptic format.
 
 Parity with reference: datasets/prepare_kitti_eigen.py — same conversion
-as prepare_cityscapes but annotations file names keep the KITTI drive
-structure (label_<...>) so the registry can map them back to image paths.
+as prepare_cityscapes but annotation file names keep the KITTI drive
+structure (<date>/<drive>/label_02/data/<frame>.png) so the registry can
+map them back to image paths via label_ -> image_
+(mgnet_tpu/data/kitti.py:120-127; reference prepare_kitti_eigen.py:38-52).
 """
 
 import argparse
@@ -18,7 +20,54 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from mgnet_tpu.data.categories import CITYSCAPES_SCENE_SEG_CATEGORIES  # noqa: E402
-from prepare_cityscapes import convert_one  # noqa: E402
+from mgnet_tpu.data.mapper import id2rgb  # noqa: E402
+from prepare_cityscapes import KNOWN_IDS, THING_IDS  # noqa: E402
+
+
+def convert_one(args):
+    """One instanceIds PNG -> nested COCO-panoptic PNG + annotation dict.
+
+    Unlike the cityscapes converter (flat city_seq_frame stems), the
+    annotation file_name is the path RELATIVE to the input root, with the
+    _instanceIds suffix dropped — bare KITTI frame numbers collide across
+    drives, and the loader needs the drive structure back.
+    """
+    in_path, input_dir, output_dir = args
+    from PIL import Image
+
+    inst = np.asarray(Image.open(in_path))
+    pan = np.zeros_like(inst, np.int64)
+    segments = []
+    for raw_id in np.unique(inst):
+        raw_id = int(raw_id)
+        if raw_id < 1000:
+            category_id, iscrowd = raw_id, int(raw_id in THING_IDS)
+        else:
+            category_id, iscrowd = raw_id // 1000, 0
+        if category_id not in KNOWN_IDS:
+            continue  # unlabeled / void
+        mask = inst == raw_id
+        pan[mask] = raw_id
+        ys, xs = np.nonzero(mask)
+        segments.append({
+            "id": raw_id,
+            "category_id": category_id,
+            "area": int(mask.sum()),
+            "bbox": [int(xs.min()), int(ys.min()),
+                     int(xs.max() - xs.min() + 1),
+                     int(ys.max() - ys.min() + 1)],
+            "iscrowd": iscrowd,
+        })
+    rel = os.path.relpath(in_path, input_dir)
+    file_name = rel.replace("_instanceIds.png", ".png")
+    out_path = os.path.join(output_dir, file_name)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    Image.fromarray(id2rgb(pan)).save(out_path)
+    return {
+        "image_id": os.path.splitext(file_name)[0].replace("/", "_"),
+        "file_name": file_name,
+        "segments_info": segments,
+    }
 
 
 def convert2panoptic(input_dir, output_dir, json_path, workers=8):
@@ -28,7 +77,8 @@ def convert2panoptic(input_dir, output_dir, json_path, workers=8):
     ))
     assert files, f"No *_instanceIds.png under {input_dir}"
     with Pool(workers) as pool:
-        annotations = pool.map(convert_one, [(f, output_dir) for f in files])
+        annotations = pool.map(
+            convert_one, [(f, input_dir, output_dir) for f in files])
     categories = [
         {"id": c["id"], "name": c["name"], "color": list(c["color"]),
          "supercategory": "", "isthing": c["isthing"]}

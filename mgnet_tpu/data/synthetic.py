@@ -10,7 +10,8 @@ import numpy as np
 
 from mgnet_tpu.data.target_generator import PanopticTargetGenerator
 
-__all__ = ["synthetic_train_batch", "make_synthetic_cityscapes_raw"]
+__all__ = ["synthetic_train_batch", "make_synthetic_cityscapes_raw",
+           "make_synthetic_kitti_raw"]
 
 
 def synthetic_train_batch(
@@ -132,3 +133,49 @@ def make_synthetic_cityscapes_raw(root: str, split: str = "train",
             }, f)
         disp = rng.randint(500, 20000, (height, width)).astype(np.uint16)
         Image.fromarray(disp).save(f"{dirs['disp']}/{stem}_disparity.png")
+
+
+def make_synthetic_kitti_raw(root: str, n_frames: int = 7,
+                             height: int = 96, width: int = 320,
+                             seed: int = 11) -> None:
+    """Write a RAW synthetic KITTI-Eigen tree (one drive, eigen_zhou +
+    eigen_test split lists, per-date calib, sparse depth gt for the test
+    frame) so the KITTI leg of tools/run_pipeline.py — pseudo-label
+    generation, prepare_kitti_eigen conversion, Eigen-Zhou training and
+    depth eval — runs end-to-end without real data. Directory layout per
+    reference datasets/README (kitti_eigen/<date>/<drive>/image_02/data)."""
+    import os
+
+    from PIL import Image
+
+    rng = np.random.RandomState(seed)
+    date = "2011_09_26"
+    drive = f"{date}/{date}_drive_0001_sync"
+    img_dir = f"{root}/kitti_eigen/{drive}/image_02/data"
+    depth_dir = f"{root}/kitti_eigen/{drive}/proj_depth/groundtruth/image_02"
+    splits = f"{root}/kitti_eigen/data_splits"
+    for d in (img_dir, depth_dir, splits):
+        os.makedirs(d, exist_ok=True)
+
+    for i in range(n_frames):
+        Image.fromarray(
+            rng.randint(0, 255, (height, width, 3), np.uint8)
+        ).save(f"{img_dir}/{i:010d}.png")
+
+    test_frame = n_frames // 2
+    depth = (rng.uniform(2.0, 60.0, (height, width)) * 256).astype(np.uint16)
+    depth[rng.rand(height, width) < 0.7] = 0  # sparse, like projected lidar
+    Image.fromarray(depth).save(f"{depth_dir}/{test_frame:010d}.png")
+
+    with open(f"{root}/kitti_eigen/{date}/calib_cam_to_cam.txt", "w") as f:
+        f.write("calib_time: 2011\n")
+        f.write(f"P_rect_02: {0.8 * width} 0.0 {(width - 1) / 2} 0.0 "
+                f"0.0 {0.8 * width} {(height - 1) / 2} 0.0 "
+                "0.0 0.0 1.0 0.0\n")
+
+    # interior frames have both neighbors -> usable for training
+    with open(f"{splits}/eigen_zhou_files.txt", "w") as f:
+        for i in range(1, n_frames - 1):
+            f.write(f"{drive}/image_02/data/{i:010d}.png l\n")
+    with open(f"{splits}/eigen_test_files.txt", "w") as f:
+        f.write(f"{drive}/image_02/data/{test_frame:010d}.png l\n")

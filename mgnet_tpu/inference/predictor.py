@@ -194,7 +194,8 @@ class Predictor:
     def predict_batch(self, images_resized: np.ndarray,
                       camera_matrix: Optional[np.ndarray] = None,
                       camera_height: Optional[np.ndarray] = None,
-                      outputs: Optional[tuple] = None) -> Dict:
+                      outputs: Optional[tuple] = None,
+                      materialize: bool = True) -> Dict:
         """Batched raw-path inference on pre-resized images.
 
         Args:
@@ -252,4 +253,10 @@ class Predictor:
             self.params, self.batch_stats, jnp.asarray(images_resized),
             **kwargs,
         )
+        if not materialize:
+            # device arrays, dispatch still in flight: the caller can
+            # enqueue the NEXT batch before blocking on np.asarray, so
+            # D2H transfer of batch N overlaps batch N+1's compute
+            # (pseudo-label generation's software pipeline)
+            return dict(out)
         return {k: np.asarray(v) for k, v in out.items()}

@@ -106,6 +106,52 @@ class Trainer:
                 return
         weights = self.cfg.MODEL.WEIGHTS
         if weights:
+            if os.path.isdir(weights):
+                # Trained-checkpoint init (reference DetectionCheckpointer
+                # accepts both; GETTING_STARTED.md step 3 starts the
+                # VideoSequence/KITTI legs from the Fine model_final).
+                # Grafted leaf-by-leaf with shape checking like the npz
+                # path: the KITTI legs have a 19-class head vs the Fine
+                # checkpoint's 20 — mismatched leaves keep their fresh
+                # init (detectron2 matching_heuristics semantics).
+                from mgnet_tpu.utils.checkpoint import load_params
+                from mgnet_tpu.utils.weights import (
+                    flatten_params,
+                    unflatten_params,
+                )
+
+                ck_params, ck_stats = load_params(weights, None)
+                matched, skipped = 0, []
+                new_state = {}
+                for name, src, dst in (
+                    ("params", ck_params, self.state.params),
+                    ("batch_stats", ck_stats, self.state.batch_stats),
+                ):
+                    src_flat = flatten_params(src)
+                    dst_flat = flatten_params(jax.device_get(dst))
+                    take = {}
+                    for k, v in src_flat.items():
+                        if k in dst_flat and dst_flat[k].shape == np.asarray(
+                                v).shape:
+                            take[k] = np.asarray(v)
+                            matched += 1
+                        else:
+                            skipped.append(k)
+                    new_state[name] = unflatten_params(dst, take)
+                if matched == 0:
+                    raise ValueError(
+                        f"MODEL.WEIGHTS={weights!r} (checkpoint dir) "
+                        "matched zero parameter leaves; wrong checkpoint "
+                        "or incompatible model.")
+                self.state = self.state.replace(
+                    params=new_state["params"],
+                    batch_stats=new_state["batch_stats"],
+                )
+                print(f"Loaded checkpoint weights from {weights}: "
+                      f"{matched} leaves"
+                      + (f", skipped {len(skipped)} (shape/name mismatch): "
+                         f"{skipped[:6]}..." if skipped else ""))
+                return
             # ImageNet init grafting (reference DetectionCheckpointer with
             # matching_heuristics, SURVEY.md §5). Resolve with or without
             # the .npz suffix; a configured-but-absent weights file is a

@@ -127,11 +127,21 @@ def main():
             np.where(isthing_table[cls], did * 1000 + inst, did),
             0,
         ).astype(np.uint16)
-        stem = os.path.splitext(os.path.basename(file_name))[0]
-        stem = stem.replace("_leftImg8bit", "")
-        Image.fromarray(remapped).save(
-            os.path.join(args.output, f"{stem}_instanceIds.png")
-        )
+        if "kitti" in args.dataset:
+            # Preserve the drive structure under the output root
+            # (image_02 -> label_02, reference generate_pseudo_labels.py
+            # :139): flat frame numbers collide across drives, and the
+            # registry maps annotations back via label_ -> image_.
+            rel = file_name.split("kitti_eigen/")[-1]
+            rel = rel.replace("image_", "label_")
+            out = os.path.join(
+                args.output, os.path.splitext(rel)[0] + "_instanceIds.png")
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+        else:
+            stem = os.path.splitext(os.path.basename(file_name))[0]
+            stem = stem.replace("_leftImg8bit", "")
+            out = os.path.join(args.output, f"{stem}_instanceIds.png")
+        Image.fromarray(remapped).save(out)
 
     def load(d):
         img = read_image(d["file_name"])
@@ -142,21 +152,39 @@ def main():
     # batched inference (reference runs a DDP-batched test loader,
     # generate_pseudo_labels.py:40-64): frames sharing a resized shape
     # run as one device batch; PNG decode and encode ride a thread pool.
+    # Software pipeline depth 1: dispatch batch N+1 (async jax dispatch)
+    # BEFORE materializing batch N, so the D2H of N's panoptic maps
+    # overlaps N+1's device compute (VERDICT r3 #6).
     batch_size = max(1, int(args.batch))
     n_done, t_first, t0 = 0, None, time.time()
     with ThreadPoolExecutor(max(2, batch_size)) as pool:
         buckets = defaultdict(list)
+        pending = None  # (device output dict, items)
 
-        def flush(items):
+        def materialize(batch):
             nonlocal n_done, t_first
-            imgs = np.stack([r for _, r in items])
-            out = predictor.predict_batch(imgs, outputs=("panoptic",))
+            out, items = batch
+            pan = np.asarray(out["panoptic"])  # blocks: D2H
             for i, (d, _) in enumerate(items):
-                pool.submit(remap_and_save, out["panoptic"][i],
-                            d["file_name"])
+                pool.submit(remap_and_save, pan[i], d["file_name"])
             n_done += len(items)
             if t_first is None:
                 t_first = time.time()  # first batch includes compile
+
+        def drain():
+            nonlocal pending
+            if pending is not None:
+                materialize(pending)
+                pending = None
+
+        def flush(items):
+            nonlocal pending
+            imgs = np.stack([r for _, r in items])
+            out = predictor.predict_batch(
+                imgs, outputs=("panoptic",), materialize=False)
+            prev, pending = pending, (out, items)
+            if prev is not None:
+                materialize(prev)
 
         for d, resized in pool.map(load, dataset):
             key = resized.shape
@@ -165,6 +193,7 @@ def main():
                 flush(buckets.pop(key))
         for key in list(buckets):
             flush(buckets.pop(key))
+        drain()
     wall = time.time() - t0
     steady = (
         (n_done - batch_size) / (time.time() - t_first)
@@ -211,7 +240,10 @@ def main():
     if args.convert_json:
         sys.path.insert(0, os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "..", "datasets"))
-        from prepare_cityscapes import convert2panoptic
+        if "kitti" in args.dataset:
+            from prepare_kitti_eigen import convert2panoptic
+        else:
+            from prepare_cityscapes import convert2panoptic
 
         out_png_dir = args.output.rstrip("/") + "_panoptic"
         convert2panoptic(args.output, out_png_dir, args.convert_json)

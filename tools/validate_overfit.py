@@ -110,6 +110,12 @@ def main():
     # defaults re-validated in round 3: lr 3e-3 destabilizes after
     # ~300 steps (loss_center spike, measured in r1/r2/r3 code
     # states alike); 1e-3 descends monotonically
+    p.add_argument("--batch", type=int, default=2,
+                   help="SOLVER.IMS_PER_BATCH (global batch)")
+    p.add_argument("--accum", type=int, default=1,
+                   help="SOLVER.GRAD_ACCUM_STEPS: A/B harness for the "
+                        "per-micro-batch BN semantics delta "
+                        "(train/step.py honesty note; VERDICT r3 #8)")
     args = p.parse_args()
 
     from mgnet_tpu.config import get_default_config
@@ -127,7 +133,8 @@ def main():
     cfg.MODEL.SEM_SEG_HEAD.OHEM_N_MIN = 2047
     cfg.SOLVER.MAX_ITER = args.steps
     cfg.SOLVER.BASE_LR = args.lr
-    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.SOLVER.IMS_PER_BATCH = args.batch
+    cfg.SOLVER.GRAD_ACCUM_STEPS = args.accum
     cfg.SOLVER.WARMUP_ITERS = 20
     cfg.SOLVER.CHECKPOINT_PERIOD = 10 ** 9
     cfg.TEST.EVAL_PERIOD = 0
