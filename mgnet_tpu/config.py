@@ -259,13 +259,15 @@ def get_default_config() -> ConfigNode:
     c.MODEL.DEPTH_HEAD.PHOTOMETRIC_REDUCE_OP = "min"
     c.MODEL.DEPTH_HEAD.PADDING_MODE = "zeros"
     # Fused Pallas SSIM+L1 kernel in the photometric loss
-    # (ops/pallas/ssim.py). Default OFF since round 3: the photometric
-    # loss is train-only and the kernel's custom VJP re-runs the XLA
-    # formulation in the backward, so the Pallas forward ADDS a pass —
-    # measured 403.9 vs 393.9 ms/step batch 8 @1024² (BENCH_NOTES
-    # §Training r3). The kernel remains for forward-only consumers;
-    # numerics are identical either way (tests/test_pallas_ops.py).
-    c.MODEL.DEPTH_HEAD.USE_PALLAS_SSIM = False
+    # (ops/pallas/ssim.py). Round 3 shipped a forward-only kernel whose
+    # VJP re-ran the XLA formulation (a measured net LOSS, 403.9 vs
+    # 393.9 ms/step); round 4 added the fused backward (dx,dy from one
+    # VMEM pass) and the pair is a measured WIN: 336.1 vs 362.0 ms/step
+    # batch 8 @1024² (BENCH_NOTES §Training r4), so it is now the
+    # default. Not an approximation: same f32 statistics recomputed in
+    # VMEM, exactness-tested against XLA autodiff (tests/
+    # test_pallas_ops.py); auto-falls back to the XLA path off-TPU.
+    c.MODEL.DEPTH_HEAD.USE_PALLAS_SSIM = True
     # Use the banded-matmul Pallas warp kernel for the view-synthesis
     # grid_sample (ops/pallas/warp.py) — the train-step floor. Exact for
     # any input (XLA violator correction + full-sampler guard); auto-
@@ -377,9 +379,11 @@ def get_default_config() -> ConfigNode:
     # inference_on_dataset analog). TTA (MSC_FLIP_EVAL) forces 1.
     c.TEST.IMS_PER_BATCH = 4
     # TTA (MSC_FLIP_EVAL) batch: the flip pair already doubles the device
-    # batch and the 2.0x scale octuples pixel count, so this defaults
-    # conservatively; raise it on chips with headroom.
-    c.TEST.TTA_IMS_PER_BATCH = 1
+    # batch and the 2.0x scale octuples pixel count. Measured on one v5e
+    # (16 GB HBM) @1024x2048: batch 4 = 164.3 ms/img (the sweet spot;
+    # batch 2 = 302 ms/img, batch 8 OOMs at 27.7G — the seven scale-pair
+    # logit upsamples are live simultaneously). BENCH_NOTES §TTA r4.
+    c.TEST.TTA_IMS_PER_BATCH = 4
 
     # ---------------- TPU-native: mesh / parallelism ----------------
     c.MESH = ConfigNode()
