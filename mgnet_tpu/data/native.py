@@ -16,7 +16,7 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["native_available", "decode_image", "resize_bilinear",
-           "resize_nearest", "normalize"]
+           "resize_nearest", "normalize", "adjust_hue", "adjust_saturation"]
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -29,9 +29,11 @@ _SO = os.path.join(_ROOT, "native", "build", "libmgnet_image_ops.so")
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO), exist_ok=True)
+    # -ffp-contract=off: the jitter ops' f32 blends must round exactly
+    # like numpy/Pillow (an FMA contraction would change the low bit)
     cmd = [
-        "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _SO, "-lpng", "-ljpeg", "-lz",
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-shared",
+        "-fPIC", "-std=c++17", _SRC, "-o", _SO, "-lpng", "-ljpeg", "-lz",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -69,6 +71,17 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.normalize_u8_to_f32.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, f32p, f32p, f32p,
     ]
+    if not hasattr(lib, "mg_adjust_hue"):
+        # stale .so from an older source revision: rebuild once
+        if _build():
+            try:
+                lib = ctypes.CDLL(_SO)
+            except OSError:
+                return None
+    if hasattr(lib, "mg_adjust_hue"):
+        lib.mg_adjust_hue.argtypes = [u8p, ctypes.c_int64, ctypes.c_int, u8p]
+        lib.mg_adjust_saturation.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_float, u8p]
     _LIB = lib
     return lib
 
@@ -140,6 +153,33 @@ def resize_nearest(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
     c = img.shape[2] if img.ndim == 3 else 1
     out = np.empty((oh, ow, c) if img.ndim == 3 else (oh, ow), np.uint8)
     lib.resize_nearest_u8(_u8p(img), h, w, c, _u8p(out), oh, ow)
+    return out
+
+
+def adjust_hue(img: np.ndarray, shift: int) -> Optional[np.ndarray]:
+    """PIL-exact hue shift (RGB->HSV->+shift (uint8 wrap)->RGB) in one
+    native pass, or None when the native library is unavailable (the
+    caller falls back to the vectorized numpy replica in
+    data/transforms.py — both bit-exact vs Pillow)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mg_adjust_hue"):
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    out = np.empty_like(img)
+    lib.mg_adjust_hue(_u8p(img), img.size // 3, int(shift) % 256, _u8p(out))
+    return out
+
+
+def adjust_saturation(img: np.ndarray, factor: float) -> Optional[np.ndarray]:
+    """PIL ImageEnhance.Color-exact saturation blend in one native pass,
+    or None when unavailable."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mg_adjust_saturation"):
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    out = np.empty_like(img)
+    lib.mg_adjust_saturation(_u8p(img), img.size // 3, float(factor),
+                             _u8p(out))
     return out
 
 

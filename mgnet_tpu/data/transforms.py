@@ -94,6 +94,17 @@ class TransformList(Transform):
 
 @dataclass
 class ResizeTransform(Transform):
+    """PIL-semantics resize (bilinear for images, nearest for labels).
+
+    The reference resizes through detectron2 ResizeTransform, whose uint8
+    path is PIL ``Image.resize`` — PIL BILINEAR is an *antialiased*
+    triangle filter whose support widens with the downscale factor, which
+    cv2 INTER_LINEAR (fixed 2x2 taps) is not. At the config's 2-4x
+    downscales that is a real train-data distribution shift, so the uint8
+    path goes through PIL for bit parity (tests/test_golden_mapper.py);
+    float inputs (not used by the mappers) keep the cv2 fallback.
+    """
+
     h: int
     w: int
     new_h: int
@@ -102,6 +113,11 @@ class ResizeTransform(Transform):
     def apply_image(self, img):
         if (self.h, self.w) == (self.new_h, self.new_w):
             return img
+        if img.dtype == np.uint8:
+            from PIL import Image
+
+            return np.asarray(Image.fromarray(img).resize(
+                (self.new_w, self.new_h), Image.BILINEAR))
         return cv2.resize(
             img, (self.new_w, self.new_h), interpolation=cv2.INTER_LINEAR
         )
@@ -109,6 +125,11 @@ class ResizeTransform(Transform):
     def apply_segmentation(self, seg):
         if (self.h, self.w) == (self.new_h, self.new_w):
             return seg
+        if seg.dtype == np.uint8:
+            from PIL import Image
+
+            return np.asarray(Image.fromarray(seg).resize(
+                (self.new_w, self.new_h), Image.NEAREST))
         return cv2.resize(
             seg, (self.new_w, self.new_h), interpolation=cv2.INTER_NEAREST
         )
@@ -176,22 +197,31 @@ class PadTransform(Transform):
         return self.x0 or self.x1 or self.y0 or self.y1
 
     def apply_image(self, img):
+        """Reference-exact image padding, including its per-AXIS quirk.
+
+        The reference feeds ``np.repeat(expand_dims(PIXEL_MEAN, 1), 2, 1)``
+        — a (3, 2) array — as np.pad ``constant_values``
+        (dataset_mapper.py:88-89 + fvcore PadTransform), which numpy reads
+        as one constant PER AXIS, not per channel: y-borders fill with
+        PIXEL_MEAN[0] in all channels, x-borders with PIXEL_MEAN[1]
+        (x overwrites corners). Almost certainly intended as mean-COLOR
+        padding, but parity means matching the actual behavior; the pad
+        region is masked from every loss (seg pads to ignore, the
+        reprojection mask zeroes borders) and the shipped configs never
+        trigger it (min resize edge == crop size), so the only exposure is
+        conv context. Bit-equality vs the transcription:
+        tests/test_golden_mapper.py.
+        """
         if not self._any:
             return img
-        out = np.pad(
-            img, ((self.y0, self.y1), (self.x0, self.x1), (0, 0)),
-            mode="constant",
+        pads = ((self.y0, self.y1), (self.x0, self.x1), (0, 0))
+        pv = np.repeat(
+            np.expand_dims(np.asarray(self.pad_value, np.float64), 1),
+            2, axis=1,
         )
-        pv = np.asarray(self.pad_value, img.dtype)
-        if self.y0:
-            out[: self.y0] = pv
-        if self.y1:
-            out[out.shape[0] - self.y1:] = pv
-        if self.x0:
-            out[:, : self.x0] = pv
-        if self.x1:
-            out[:, out.shape[1] - self.x1:] = pv
-        return out
+        if img.ndim == 2:
+            pads, pv = pads[:2], pv[:2]
+        return np.pad(img, pads, mode="constant", constant_values=pv)
 
     def apply_segmentation(self, seg):
         if not self._any:
@@ -224,71 +254,154 @@ class PadTransform(Transform):
 
 
 # ---------------------------------------------------------------------------
-# Color jitter (torchvision-functional semantics over uint8 RGB numpy)
+# Color jitter — bit-exact torchvision-PIL semantics over uint8 RGB numpy.
+#
+# The reference jitters through torchvision.transforms.functional on PIL
+# Images (reference transform.py:208-221), i.e. PIL ImageEnhance +
+# convert("HSV"). Pillow's Blend.c computes ``deg + alpha*(img - deg)`` in
+# float32 and truncates to int (NOT round-half-up), its "L" conversion is
+# the integer luma ``(R*19595 + G*38470 + B*7471 + 0x8000) >> 16``, and
+# ImageEnhance.Contrast uses ``int(mean(L) + 0.5)`` as the scalar
+# degenerate. All three blend ops below replicate that bit-exactly
+# (verified over every uint8 value and random images,
+# tests/test_golden_mapper.py); brightness/contrast stay 256-entry LUTs
+# (per-VALUE ops — one gather per pixel instead of a full-res f32 chain,
+# the mapper hot spot per BENCH_NOTES §Data pipeline). Hue goes through
+# PIL's own HSV roundtrip — exactly the torchvision PIL path, including
+# its quantization when the shift is 0.
 # ---------------------------------------------------------------------------
 
 
-def _blend(img1: np.ndarray, img2: np.ndarray, ratio: float) -> np.ndarray:
-    out = ratio * img1.astype(np.float32) + (1.0 - ratio) * img2.astype(np.float32)
-    return np.clip(out, 0, 255).astype(np.uint8)
-
-
-def _value_lut(ratio: float, other: float) -> np.ndarray:
-    """256-entry uint8 LUT for blend-with-a-scalar: per-VALUE ops, so
-    applying the LUT matches the per-pixel f32 blend (bit-identical for
-    brightness; contrast's f32 mean can shift boundary values 1 LSB) while
-    touching each pixel once (the f32 chain cost ~0.15 s/frame at
-    flagship resolution — the mapper hot spot, tools note in
-    BENCH_NOTES §Data pipeline)."""
+def _blend_lut(factor: float, degenerate: float) -> np.ndarray:
+    """256-entry LUT of Pillow's Blend.c: f32 math, truncating int cast."""
     v = np.arange(256, dtype=np.float32)
-    out = ratio * v + (1.0 - ratio) * np.float32(other)
-    return np.clip(out, 0, 255).astype(np.uint8)
+    deg = np.float32(degenerate)
+    out = deg + np.float32(factor) * (v - deg)
+    return np.clip(out, 0, 255).astype(np.uint8)  # astype truncates like C
 
 
 def _adjust_brightness(img, factor):
     if img.dtype != np.uint8:  # LUT indexing assumes uint8 values
         return np.clip(factor * img.astype(np.float32), 0, 255).astype(
             img.dtype)
-    return _value_lut(factor, 0.0)[img]
+    return _blend_lut(factor, 0.0)[img]
 
 
-def _grayscale(img):
-    # ITU-R 601-2 luma (torchvision rgb_to_grayscale); f32 like the
-    # torchvision tensor path (a python-float multiply on the uint8
-    # channel would silently promote the whole pass to float64)
-    img = img.astype(np.float32, copy=False)
-    g = (np.float32(0.299) * img[..., 0]
-         + np.float32(0.587) * img[..., 1]
-         + np.float32(0.114) * img[..., 2])
-    return g
+def _gray_l(img: np.ndarray) -> np.ndarray:
+    """PIL convert("L") integer luma (Pillow convert.c L24 macro)."""
+    arr = img.astype(np.uint32)
+    return ((arr[..., 0] * 19595 + arr[..., 1] * 38470
+             + arr[..., 2] * 7471 + 0x8000) >> 16).astype(np.uint8)
 
 
 def _adjust_contrast(img, factor):
-    # mean accumulates in f32 (not torchvision's f64) — boundary values can
-    # differ from the exact per-pixel blend by 1 LSB
-    mean = float(_grayscale(img).mean())
     if img.dtype != np.uint8:  # LUT indexing assumes uint8 values
+        mean = float(img.astype(np.float32).mean())
         return np.clip(
             factor * img.astype(np.float32) + (1.0 - factor) * mean,
             0, 255).astype(img.dtype)
-    return _value_lut(factor, mean)[img]
+    # ImageEnhance.Contrast: int(ImageStat mean of the L image + 0.5)
+    mean = int(float(_gray_l(img).mean(dtype=np.float64)) + 0.5)
+    return _blend_lut(factor, mean)[img]
 
 
 def _adjust_saturation(img, factor):
-    # ratio*img + (1-ratio)*gray per pixel; scale gray [H,W] once and
-    # broadcast-add instead of materializing a [H,W,3] gray copy
-    gray_scaled = (1.0 - factor) * _grayscale(img)
-    out = factor * img.astype(np.float32) + gray_scaled[..., None]
+    # ImageEnhance.Color: per-pixel blend with the L gray — not a value
+    # LUT; Pillow's truncating f32 blend, broadcast over channels.
+    # Native single-pass when built (same bits, ~3x less memory traffic
+    # than the numpy temporaries chain); numpy replica otherwise.
+    if img.dtype == np.uint8 and img.ndim == 3 and img.shape[-1] == 3:
+        from mgnet_tpu.data import native
+
+        out = native.adjust_saturation(img, factor)
+        if out is not None:
+            return out
+    gray = _gray_l(img).astype(np.float32)[..., None]
+    out = gray + np.float32(factor) * (img.astype(np.float32) - gray)
     return np.clip(out, 0, 255).astype(np.uint8)
 
 
+def _rgb2hsv_pil(img: np.ndarray) -> np.ndarray:
+    """Pillow convert("HSV") bit-exactly, vectorized.
+
+    Pillow's Convert.c follows colorsys in C floats; the binding rounding
+    sites (derived empirically, then verified over ALL 2^24 RGB inputs —
+    tests/test_golden_mapper.py has the sampled CI check) are:
+    the (maxc-x)/cr ratios and the maxc==r subtraction are f32; the
+    maxc==g/b branches promote through the C double literals 2.0/4.0 and
+    round back to f32 on store; /6 and the mod-1 wrap are f32; the final
+    *255 truncates. S is exact integer math: 255*cr//maxc.
+    """
+    r, g, b = (img[..., i].astype(np.float32) for i in range(3))
+    maxc = np.maximum(r, np.maximum(g, b))
+    minc = np.minimum(r, np.minimum(g, b))
+    cr = maxc - minc
+    gray = cr == 0
+    crs = np.where(gray, np.float32(1), cr)
+    rc = (maxc - r) / crs
+    gc = (maxc - g) / crs
+    bc = (maxc - b) / crs
+    h = np.where(
+        maxc == r, bc - gc,
+        np.where(maxc == g,
+                 (2.0 + rc.astype(np.float64) - bc).astype(np.float32),
+                 (4.0 + gc.astype(np.float64) - rc).astype(np.float32)))
+    h = (h / np.float32(6.0)) % np.float32(1.0)
+    uh = (h.astype(np.float64) * 255.0).astype(np.uint8)
+    s = (255 * cr.astype(np.uint32)
+         // np.maximum(maxc, 1).astype(np.uint32)).astype(np.uint8)
+    zero = np.uint8(0)
+    return np.stack([np.where(gray, zero, uh), np.where(gray, zero, s),
+                     maxc.astype(np.uint8)], axis=-1)
+
+
+def _hsv2rgb_pil(hsv: np.ndarray) -> np.ndarray:
+    """Pillow Image.merge("HSV", ...).convert("RGB") bit-exactly,
+    vectorized: colorsys hsv_to_rgb in C doubles with round-half-up on
+    p/q/t (verified over ALL 2^24 HSV inputs; sampled check in CI)."""
+    uh = hsv[..., 0].astype(np.float64)
+    us = hsv[..., 1]
+    uv = hsv[..., 2]
+    h6 = (uh / 255.0) * 6.0
+    i = h6.astype(np.int32)
+    f = h6 - i
+    s = us.astype(np.float64) / 255.0
+    v = uv.astype(np.float64)
+    p = (v * (1.0 - s) + 0.5).astype(np.uint8)
+    q = (v * (1.0 - s * f) + 0.5).astype(np.uint8)
+    t = (v * (1.0 - s * (1.0 - f)) + 0.5).astype(np.uint8)
+    im = i % 6
+    sel = [im == k for k in range(6)]
+    r = np.select(sel, [uv, q, p, p, t, uv])
+    g = np.select(sel, [t, uv, uv, q, p, p])
+    b = np.select(sel, [p, p, t, uv, uv, q])
+    gray = us == 0
+    out = np.stack([np.where(gray, uv, r), np.where(gray, uv, g),
+                    np.where(gray, uv, b)], axis=-1)
+    return out.astype(np.uint8)
+
+
 def _adjust_hue(img, factor):
-    hsv = cv2.cvtColor(img, cv2.COLOR_RGB2HSV)
-    # OpenCV uint8 hue range is [0, 180)
-    h = hsv[..., 0].astype(np.int32)
-    h = (h + int(round(factor * 180))) % 180
-    hsv[..., 0] = h.astype(np.uint8)
-    return cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    """torchvision F_pil.adjust_hue: PIL HSV roundtrip + uint8-wrap shift.
+
+    The shift is ``np.uint8(factor * 255)`` under numpy 1.x semantics:
+    truncate toward zero, then wrap mod 256 (negative factors wrap high).
+    Applied even when the shift lands on 0 — the RGB->HSV->RGB roundtrip
+    itself quantizes, and the reference inherits that. Dispatch: native
+    single-pass roundtrip when built, else the vectorized bit-exact
+    Pillow replicas above — all three paths produce identical bits
+    (tests/test_golden_mapper.py).
+    """
+    shift = int(np.trunc(np.float64(factor) * 255.0)) % 256
+    if img.dtype == np.uint8 and img.ndim == 3 and img.shape[-1] == 3:
+        from mgnet_tpu.data import native
+
+        out = native.adjust_hue(img, shift)
+        if out is not None:
+            return out
+    hsv = _rgb2hsv_pil(img)
+    hsv[..., 0] = (hsv[..., 0].astype(np.int32) + shift).astype(np.uint8)
+    return _hsv2rgb_pil(hsv)
 
 
 @dataclass

@@ -233,6 +233,105 @@ void resize_nearest_u8(const uint8_t* src, int h, int w, int c,
   }
 }
 
+// ---------------------------------------------------------------------------
+// Color-jitter ops with bit-exact Pillow/torchvision-PIL semantics.
+//
+// The train mapper's color jitter must match the reference's torchvision
+// PIL backend bit-for-bit (reference: mgnet/data/transform.py:208-221;
+// golden tests: tests/test_golden_mapper.py). Pillow's binding rounding
+// sites — derived empirically and verified over ALL 2^24 inputs against
+// Pillow itself (see mgnet_tpu/data/transforms.py _rgb2hsv_pil /
+// _hsv2rgb_pil, the numpy reference implementations of the same math) —
+// are replicated here:
+//   rgb->hsv: f32 (maxc-x)/cr ratios; maxc==r branch subtracts in f32;
+//     the g/b branches promote through the C double literals 2.0/4.0 and
+//     round back to f32 on store; /6 and the mod-1 wrap in f32; final
+//     *255 truncates. S = 255*cr/maxc integer division.
+//   hsv->rgb: colorsys in doubles, round-half-up p/q/t, trunc i=(int)h6.
+//   saturation (ImageEnhance.Color): per-pixel f32 blend with the
+//     integer L luma, truncating store.
+// NOTE: these functions require -ffp-contract=off (an FMA in the blend
+// would change f32 rounding vs numpy/Pillow); set for this file in both
+// build paths (native/CMakeLists.txt, data/native.py).
+// ---------------------------------------------------------------------------
+
+static inline uint8_t luma_l(int r, int g, int b) {
+  // Pillow convert("L") integer luma (convert.c L24 macro)
+  return static_cast<uint8_t>(
+      (static_cast<uint32_t>(r) * 19595 + static_cast<uint32_t>(g) * 38470 +
+       static_cast<uint32_t>(b) * 7471 + 0x8000) >> 16);
+}
+
+void mg_adjust_saturation(const uint8_t* in, int64_t n_px, float factor,
+                          uint8_t* out) {
+  for (int64_t i = 0; i < n_px; ++i) {
+    const uint8_t* p = in + 3 * i;
+    uint8_t* o = out + 3 * i;
+    float gray = static_cast<float>(luma_l(p[0], p[1], p[2]));
+    for (int k = 0; k < 3; ++k) {
+      float v = gray + factor * (static_cast<float>(p[k]) - gray);
+      v = v < 0.0f ? 0.0f : (v > 255.0f ? 255.0f : v);
+      o[k] = static_cast<uint8_t>(v);  // truncates like Pillow Blend.c
+    }
+  }
+}
+
+void mg_adjust_hue(const uint8_t* in, int64_t n_px, int shift, uint8_t* out) {
+  for (int64_t idx = 0; idx < n_px; ++idx) {
+    const int r = in[3 * idx], g = in[3 * idx + 1], b = in[3 * idx + 2];
+    int maxc = r > g ? r : g;
+    if (b > maxc) maxc = b;
+    int minc = r < g ? r : g;
+    if (b < minc) minc = b;
+    const uint8_t uv = static_cast<uint8_t>(maxc);
+    uint8_t uh, us;
+    if (maxc == minc) {
+      uh = 0;
+      us = 0;
+    } else {
+      const int cr = maxc - minc;
+      us = static_cast<uint8_t>(255 * cr / maxc);
+      const float fcr = static_cast<float>(cr);
+      const float rc = static_cast<float>(maxc - r) / fcr;
+      const float gc = static_cast<float>(maxc - g) / fcr;
+      const float bc = static_cast<float>(maxc - b) / fcr;
+      float h;
+      if (maxc == r) {
+        h = bc - gc;
+      } else if (maxc == g) {
+        h = static_cast<float>(2.0 + rc - bc);  // double arith, f32 store
+      } else {
+        h = static_cast<float>(4.0 + gc - rc);
+      }
+      float m = fmodf(h / 6.0f, 1.0f);
+      if (m < 0.0f) m += 1.0f;  // numpy-% / python-% wrap
+      uh = static_cast<uint8_t>(static_cast<double>(m) * 255.0);
+    }
+    uh = static_cast<uint8_t>(uh + shift);  // uint8 wraparound shift
+    uint8_t* o = out + 3 * idx;
+    if (us == 0) {
+      o[0] = o[1] = o[2] = uv;
+      continue;
+    }
+    const double h6 = (static_cast<double>(uh) / 255.0) * 6.0;
+    const int i = static_cast<int>(h6);
+    const double f = h6 - static_cast<double>(i);
+    const double s = static_cast<double>(us) / 255.0;
+    const double v = static_cast<double>(uv);
+    const uint8_t p = static_cast<uint8_t>(v * (1.0 - s) + 0.5);
+    const uint8_t q = static_cast<uint8_t>(v * (1.0 - s * f) + 0.5);
+    const uint8_t t = static_cast<uint8_t>(v * (1.0 - s * (1.0 - f)) + 0.5);
+    switch (i % 6) {
+      case 0: o[0] = uv; o[1] = t;  o[2] = p;  break;
+      case 1: o[0] = q;  o[1] = uv; o[2] = p;  break;
+      case 2: o[0] = p;  o[1] = uv; o[2] = t;  break;
+      case 3: o[0] = p;  o[1] = q;  o[2] = uv; break;
+      case 4: o[0] = t;  o[1] = p;  o[2] = uv; break;
+      default: o[0] = uv; o[1] = p;  o[2] = q;  break;
+    }
+  }
+}
+
 // Normalize u8 HWC -> f32 HWC: (x/255 - mean) / std, per channel.
 void normalize_u8_to_f32(const uint8_t* src, int n_pixels, int c,
                          const float* mean, const float* stdv, float* dst) {

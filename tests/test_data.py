@@ -55,12 +55,19 @@ class TestTransforms:
         assert not out[:, -3:].any()       # right x1=3
         assert out[1:-4, 2:-3].all()
 
-    def test_pad_image_uses_pixel_mean(self):
+    def test_pad_image_reference_per_axis_quirk(self):
+        # The reference's np.pad constant is one value PER AXIS (see
+        # PadTransform.apply_image docstring): y-borders fill with
+        # pad_value[0] in every channel, x-borders with pad_value[1],
+        # and x overwrites the corners.
         pad = PadTransform(1, 1, 1, 1, pad_value=(10.0, 20.0, 30.0))
         img = np.zeros((4, 4, 3), np.float32)
         out = pad.apply_image(img)
-        np.testing.assert_allclose(out[0, 0], [10, 20, 30])
         assert out.shape == (6, 6, 3)
+        np.testing.assert_allclose(out[0, 2], [10, 10, 10])   # top row
+        np.testing.assert_allclose(out[-1, 2], [10, 10, 10])  # bottom row
+        np.testing.assert_allclose(out[2, 0], [20, 20, 20])   # left col
+        np.testing.assert_allclose(out[0, 0], [20, 20, 20])   # corner = x
 
     def test_color_jitter_deterministic_reapply(self):
         rng = np.random.default_rng(0)
