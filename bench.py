@@ -119,12 +119,23 @@ def _repeat_main(n: int) -> int:
     parent prints one JSON line with the aggregate plus per-run values."""
     import subprocess
 
+    # forward every other CLI flag to the children (e.g. --roofline,
+    # --breakdown), dropping only the --repeat pair itself
+    argv = sys.argv[1:]
+    i_rep = argv.index("--repeat")
+    child_args = argv[:i_rep] + argv[i_rep + 2:]
+
     vals = []
     for i in range(n):
         out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)],
+            [sys.executable, os.path.abspath(__file__)] + child_args,
             capture_output=True, text=True, timeout=1800,
         )
+        assert out.returncode == 0, (
+            f"bench child run {i + 1}/{n} failed "
+            f"(rc={out.returncode}):\n{out.stderr[-4000:]}"
+        )
+        sys.stderr.write(out.stderr)  # relay child --roofline/--breakdown
         line = out.stdout.strip().splitlines()[-1]
         rec = json.loads(line)
         vals.append(rec["value"])
