@@ -364,6 +364,9 @@ def get_default_config() -> ConfigNode:
     c.DATALOADER = ConfigNode()
     c.DATALOADER.NUM_WORKERS = 10
     c.DATALOADER.PREFETCH = 4
+    # decode-once cache dir for epoch-repeating PNGs ('' = off); see
+    # data/decode_cache.py — pays each decode once, then raw mmap reads
+    c.DATALOADER.DECODE_CACHE_DIR = ""
 
     # ---------------- test ----------------
     c.TEST = ConfigNode()

@@ -66,9 +66,12 @@ class TrainDatasetMapper:
     """Callable: dataset dict -> training sample dict of numpy arrays."""
 
     def __init__(self, cfg, dataset_name: Optional[str] = None):
+        from mgnet_tpu.data.decode_cache import build_decode_cache
+
         self.cfg = cfg
         self.with_depth = cfg.WITH_DEPTH
         self.with_panoptic = cfg.WITH_PANOPTIC
+        self._cache = build_decode_cache(cfg)
         self.sampler = build_train_transform_sampler(cfg)
         self.color_jitter_enabled = cfg.INPUT.COLOR_JITTER.ENABLED
         dataset_name = dataset_name or cfg.DATASETS.TRAIN[0]
@@ -92,12 +95,17 @@ class TrainDatasetMapper:
                 if cat["name"] in cfg.INPUT.IGNORED_CATEGORIES_IN_DEPTH:
                     self.depth_ignore_ids.append(cat["trainId"])
 
+    def _read(self, path: str) -> np.ndarray:
+        if self._cache is not None:
+            return self._cache.get(path)
+        return read_image(path)
+
     def __call__(self, dataset_dict: Dict,
                  rng: Optional[np.random.Generator] = None) -> Dict:
         rng = rng or np.random.default_rng()
         d = dict(dataset_dict)
-        image_orig = read_image(d["file_name"])
-        pan_rgb = read_image(d["pan_seg_file_name"])
+        image_orig = self._read(d["file_name"])
+        pan_rgb = self._read(d["pan_seg_file_name"])
 
         tfl = self.sampler(rng, image_orig.shape)
         image_orig = tfl.apply_image(image_orig)
@@ -124,8 +132,8 @@ class TrainDatasetMapper:
         out["center"] = out["center"][..., None]  # [H, W, 1]
 
         if self.with_depth:
-            prev_orig = tfl.apply_image(read_image(d["prev_img_file_name"]))
-            next_orig = tfl.apply_image(read_image(d["next_img_file_name"]))
+            prev_orig = tfl.apply_image(self._read(d["prev_img_file_name"]))
+            next_orig = tfl.apply_image(self._read(d["next_img_file_name"]))
             if jitter is not None:
                 prev = jitter.apply_image(prev_orig)
                 nxt = jitter.apply_image(next_orig)
@@ -173,9 +181,12 @@ class TestDatasetMapper:
     """Resize-only test mapper (reference dataset_mapper.py:262-307)."""
 
     def __init__(self, cfg, dataset_name: Optional[str] = None):
+        from mgnet_tpu.data.decode_cache import build_decode_cache
+
         self.cfg = cfg
         self.min_size = cfg.INPUT.MIN_SIZE_TEST
         self.max_size = cfg.INPUT.MAX_SIZE_TEST
+        self._cache = build_decode_cache(cfg)
 
     def _resize(self, h: int, w: int) -> ResizeTransform:
         size = self.min_size
@@ -190,7 +201,10 @@ class TestDatasetMapper:
 
     def __call__(self, dataset_dict: Dict) -> Dict:
         d = dict(dataset_dict)
-        image = read_image(d["file_name"])
+        if self._cache is not None:
+            image = self._cache.get(d["file_name"])
+        else:
+            image = read_image(d["file_name"])
         h, w = image.shape[:2]
         t = self._resize(h, w)
         out = {

@@ -16,7 +16,8 @@ from typing import Optional
 import numpy as np
 
 __all__ = ["native_available", "decode_image", "resize_bilinear",
-           "resize_nearest", "normalize", "adjust_hue", "adjust_saturation"]
+           "resize_nearest", "normalize", "adjust_hue", "adjust_saturation",
+           "apply_lut", "gray_mean_round"]
 
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -71,7 +72,7 @@ def _load() -> Optional[ctypes.CDLL]:
     lib.normalize_u8_to_f32.argtypes = [
         u8p, ctypes.c_int, ctypes.c_int, f32p, f32p, f32p,
     ]
-    if not hasattr(lib, "mg_adjust_hue"):
+    if not hasattr(lib, "mg_apply_lut"):  # newest symbol
         # stale .so from an older source revision: rebuild once
         if _build():
             try:
@@ -82,6 +83,10 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.mg_adjust_hue.argtypes = [u8p, ctypes.c_int64, ctypes.c_int, u8p]
         lib.mg_adjust_saturation.argtypes = [
             u8p, ctypes.c_int64, ctypes.c_float, u8p]
+    if hasattr(lib, "mg_apply_lut"):
+        lib.mg_apply_lut.argtypes = [u8p, ctypes.c_int64, u8p, u8p]
+        lib.mg_gray_mean_round.argtypes = [u8p, ctypes.c_int64]
+        lib.mg_gray_mean_round.restype = ctypes.c_int
     _LIB = lib
     return lib
 
@@ -181,6 +186,32 @@ def adjust_saturation(img: np.ndarray, factor: float) -> Optional[np.ndarray]:
     lib.mg_adjust_saturation(_u8p(img), img.size // 3, float(factor),
                              _u8p(out))
     return out
+
+
+def apply_lut(img: np.ndarray, lut: np.ndarray) -> Optional[np.ndarray]:
+    """out[i] = lut[img[i]] over uint8 (the brightness/contrast jitters),
+    or None when the native library is unavailable (caller indexes in
+    numpy — identical bytes either way)."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mg_apply_lut"):
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    lut = np.ascontiguousarray(lut, np.uint8)
+    out = np.empty_like(img)
+    lib.mg_apply_lut(_u8p(img), img.size, _u8p(lut), _u8p(out))
+    return out
+
+
+def gray_mean_round(img: np.ndarray) -> Optional[int]:
+    """ImageEnhance.Contrast's scalar degenerate int(mean(L) + 0.5) in one
+    native pass over RGB uint8, or None when unavailable. Exact: the
+    uint64 sum and numpy's pairwise f64 mean agree bit-for-bit on
+    integer-valued data."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "mg_gray_mean_round"):
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    return int(lib.mg_gray_mean_round(_u8p(img), img.size // 3))
 
 
 def normalize(img_u8: np.ndarray, mean, std) -> np.ndarray:

@@ -27,6 +27,7 @@ from mgnet_tpu.geometry.camera_utils import (
     construct_K,
     scale_intrinsics,
     view_synthesis,
+    view_synthesis_planar,
 )
 
 __all__ = [
@@ -38,6 +39,7 @@ __all__ = [
     "construct_K",
     "scale_intrinsics",
     "view_synthesis",
+    "view_synthesis_planar",
     "inv2depth",
     "calc_smoothness",
     "image_grid",

@@ -12,7 +12,8 @@ import numpy as np
 
 from mgnet_tpu.geometry.image import grid_sample
 
-__all__ = ["construct_K", "scale_intrinsics", "view_synthesis"]
+__all__ = ["construct_K", "scale_intrinsics", "view_synthesis",
+           "view_synthesis_planar", "synthesis_coords"]
 
 
 def construct_K(fx: float, fy: float, cx: float, cy: float,
@@ -56,11 +57,19 @@ def view_synthesis(ref_image: jnp.ndarray, depth: jnp.ndarray, ref_cam,
         cam: Camera of the target view.
     """
     assert depth.shape[-1] == 1
-    # Planar evaluation of reconstruct -> transform -> project: identical
-    # math to cam.reconstruct(frame="w") + ref_cam.project(frame="w") but
-    # on [B, H, W] coordinate planes with per-batch scalar coefficients —
-    # the packed [B,H,W,3] einsum chain puts the 3-vector on the 128-lane
-    # minor dim and wastes 125/128 lanes (see losses/photometric.py).
+    ref_coords = synthesis_coords(depth, ref_cam, cam)
+    return grid_sample(ref_image, ref_coords, padding_mode, use_pallas)
+
+
+def synthesis_coords(depth: jnp.ndarray, ref_cam, cam) -> jnp.ndarray:
+    """Normalized sampling coords [B, H, W, 2] of view_synthesis.
+
+    Planar evaluation of reconstruct -> transform -> project: identical
+    math to cam.reconstruct(frame="w") + ref_cam.project(frame="w") but
+    on [B, H, W] coordinate planes with per-batch scalar coefficients —
+    the packed [B,H,W,3] einsum chain puts the 3-vector on the 128-lane
+    minor dim and wastes 125/128 lanes (see losses/photometric.py).
+    """
     b, h, w, _ = depth.shape
     f32 = jnp.float32
     d = depth[..., 0].astype(f32)
@@ -93,5 +102,19 @@ def view_synthesis(ref_image: jnp.ndarray, depth: jnp.ndarray, ref_cam,
     pz = jnp.clip(pz, min=1e-5)
     xnorm = 2.0 * (px / pz) / (w - 1) - 1.0
     ynorm = 2.0 * (py / pz) / (h - 1) - 1.0
-    ref_coords = jnp.stack([xnorm, ynorm], axis=-1)
-    return grid_sample(ref_image, ref_coords, padding_mode, use_pallas)
+    return jnp.stack([xnorm, ynorm], axis=-1)
+
+
+def view_synthesis_planar(ref_image_pl: jnp.ndarray, depth: jnp.ndarray,
+                          ref_cam, cam, padding_mode: str = "zeros",
+                          use_pallas: bool = False) -> jnp.ndarray:
+    """view_synthesis for a channel-planar reference image [B, C, H, W];
+    returns the warped frame planar. Used by the photometric loss, which
+    keeps full-res tensors planar end to end (no NHWC relayouts around
+    the Pallas warp/SSIM kernels)."""
+    from mgnet_tpu.geometry.image import grid_sample_planar
+
+    assert depth.shape[-1] == 1
+    ref_coords = synthesis_coords(depth, ref_cam, cam)
+    return grid_sample_planar(ref_image_pl, ref_coords, padding_mode,
+                              use_pallas)

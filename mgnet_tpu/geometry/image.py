@@ -30,6 +30,7 @@ __all__ = [
     "interpolate_nearest",
     "match_scales",
     "grid_sample",
+    "grid_sample_planar",
 ]
 
 
@@ -365,3 +366,81 @@ def _grid_sample_bwd(padding_mode, use_pallas, res, g):
 
 
 grid_sample.defvjp(_grid_sample_fwd, _grid_sample_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Channel-planar grid_sample: image/outputs [B, C, H, W].
+#
+# The photometric loss keeps its full-res tensors channel-planar end to
+# end (C=3 on the 128-lane minor dim wastes 125/128 of every VPU op, and
+# the NHWC<->planar relayouts around the warp/SSIM Pallas kernels were
+# the round-5 train-step glue). Same math as grid_sample — the Pallas
+# kernel takes planar in/out natively, the XLA fallback transposes at
+# the boundary (tests/off-TPU only).
+# ---------------------------------------------------------------------------
+
+
+def _sample_dispatch_planar(image, coords, padding_mode, want_grads,
+                            use_pallas):
+    b, c, h, w = image.shape
+    if use_pallas:
+        from mgnet_tpu.ops.pallas.warp import (
+            pallas_warp_supported,
+            warp_bilinear_banded,
+        )
+
+        if pallas_warp_supported((b, h, w, c), coords.shape, padding_mode):
+            terms = 2 if use_pallas == "fast" else 3
+            if want_grads:
+                return warp_bilinear_banded(
+                    image, coords, padding_mode, with_grads=True,
+                    band_terms=terms, planar=True)
+            return (warp_bilinear_banded(
+                image, coords, padding_mode, with_grads=False,
+                band_terms=terms, planar=True), None, None)
+    out, gx, gy = _grid_sample_core(
+        image.transpose(0, 2, 3, 1), coords, padding_mode, want_grads)
+    out = out.transpose(0, 3, 1, 2)
+    if want_grads:
+        gx = gx.transpose(0, 3, 1, 2)
+        gy = gy.transpose(0, 3, 1, 2)
+    return out, gx, gy
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def grid_sample_planar(image: jnp.ndarray, coords: jnp.ndarray,
+                       padding_mode: str = "zeros",
+                       use_pallas: bool = False) -> jnp.ndarray:
+    """grid_sample for channel-planar images: [B, C, H, W] in and out.
+
+    coords stay [B, H', W', 2] normalized (x, y). Same gather-free
+    custom VJP as grid_sample; the coords cotangent contracts over the
+    channel axis (axis 1)."""
+    out, _, _ = _sample_dispatch_planar(image, coords, padding_mode, False,
+                                        use_pallas)
+    return out
+
+
+def _grid_sample_planar_fwd(image, coords, padding_mode, use_pallas):
+    out, gx, gy = _sample_dispatch_planar(image, coords, padding_mode, True,
+                                          use_pallas)
+    return out, (gx, gy, image, coords)
+
+
+def _grid_sample_planar_bwd(padding_mode, use_pallas, res, g):
+    gx, gy, image, coords = res
+    g = g.astype(gx.dtype)
+    dx = jnp.sum(g * gx, axis=1)
+    dy = jnp.sum(g * gy, axis=1)
+    dcoords = jnp.stack([dx, dy], axis=-1).astype(coords.dtype)
+    # image cotangent via the NHWC path (DCE'd in the product path —
+    # context frames are data, not parameters)
+    dimage_nhwc, _ = _grid_sample_bwd(
+        padding_mode, use_pallas,
+        (gx.transpose(0, 2, 3, 1), gy.transpose(0, 2, 3, 1),
+         image.transpose(0, 2, 3, 1), coords),
+        g.transpose(0, 2, 3, 1))
+    return dimage_nhwc.transpose(0, 3, 1, 2), dcoords
+
+
+grid_sample_planar.defvjp(_grid_sample_planar_fwd, _grid_sample_planar_bwd)

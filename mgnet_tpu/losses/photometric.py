@@ -189,6 +189,16 @@ def multi_view_photometric_loss(
 
     mask = mask[..., 0]  # planar [B,H,W]
     batch = image.shape[0]
+    # NHWC dataflow on purpose — a full channel-planar rewrite was built
+    # and measured SLOWER (round 5, recorded negative): planar in/out
+    # wins the warp kernel forward (24.0 vs 27.2 ms standalone) but the
+    # warp->SSIM gradient composition loses more (44.0 vs 39.2 ms/pair;
+    # step 0.361 vs 0.336 s) — XLA treats packed-NHWC elementwise ops as
+    # flat vectors and cancels adjacent relayouts, so the presumed
+    # "relayout glue" was already fused away, while the planar fields'
+    # HW-minor layouts make the dcoords glue worse. The planar kernel
+    # paths stay available (grid_sample_planar/planar=True) and
+    # layout-parity-tested for forward-only consumers.
     image_planes = _to_planes(image)
 
     depths = [inv2depth(d) for d in inv_depths]

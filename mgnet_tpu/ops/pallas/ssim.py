@@ -109,10 +109,15 @@ def _kernel(x_hbm, y_hbm, out_ref, *, block_h: int, n_channels: int,
 
 def _residual_batched(x: jnp.ndarray, y: jnp.ndarray, ssim_w: float,
                       c1: float, c2: float,
-                      interpret: bool = False) -> jnp.ndarray:
-    """x/y: [B, H, W, C] -> [B, H, W] residual."""
-    bsz, h, w, c = x.shape
-    pad = ((0, 0), (1, 1), (1, 1), (0, 0))
+                      interpret: bool = False,
+                      planar: bool = False) -> jnp.ndarray:
+    """x/y: [B, H, W, C] (or [B, C, H, W] when ``planar``) -> [B, H, W]."""
+    if planar:
+        bsz, c, h, w = x.shape
+        pad = ((0, 0), (0, 0), (1, 1), (1, 1))
+    else:
+        bsz, h, w, c = x.shape
+        pad = ((0, 0), (1, 1), (1, 1), (0, 0))
     xp = jnp.pad(x.astype(jnp.float32), pad, mode="reflect")
     yp = jnp.pad(y.astype(jnp.float32), pad, mode="reflect")
 
@@ -128,7 +133,8 @@ def _residual_batched(x: jnp.ndarray, y: jnp.ndarray, ssim_w: float,
     w2p = -(-(w_out + 2) // 128) * 128
 
     def prep(v):
-        v = jnp.transpose(v, (0, 3, 1, 2))  # [B, C, H+2, W+2]
+        if not planar:
+            v = jnp.transpose(v, (0, 3, 1, 2))  # [B, C, H+2, W+2]
         return jnp.pad(v, ((0, 0), (0, 0), (0, ph - v.shape[2]),
                            (0, w2p - v.shape[3])))
 
@@ -328,9 +334,12 @@ def _bwd_kernel(x_hbm, y_hbm, g_hbm, dx_hbm, dy_hbm, *, block_h: int,
 
 def _bwd_batched(x: jnp.ndarray, y: jnp.ndarray, g: jnp.ndarray,
                  ssim_w: float, c1: float, c2: float,
-                 interpret: bool = False):
-    """dx, dy [B, H, W, C] from x/y [B, H, W, C] and g [B, H, W, 1]."""
-    bsz, h, w, c = x.shape
+                 interpret: bool = False, planar: bool = False):
+    """dx, dy from x/y (layout matching ``planar``) and g [B, H, W, 1]."""
+    if planar:
+        bsz, c, h, w = x.shape
+    else:
+        bsz, h, w, c = x.shape
     hp = h + 2  # reflect-padded extent
     block_h = min(_BLOCK_H, -(-hp // 8) * 8)
     n_blocks = -(-hp // block_h)
@@ -338,11 +347,14 @@ def _bwd_batched(x: jnp.ndarray, y: jnp.ndarray, g: jnp.ndarray,
     w2p = -(-(w + 2) // 128) * 128  # output width, padded space
     wb = w2p + 128  # buffer width: data at col offset +2
 
-    pad2 = ((0, 0), (1, 1), (1, 1), (0, 0))
-
     def prep(v):
-        v = jnp.pad(v.astype(jnp.float32), pad2, mode="reflect")
-        v = jnp.transpose(v, (0, 3, 1, 2))  # [B, C, H+2, W+2]
+        if planar:
+            v = jnp.pad(v.astype(jnp.float32),
+                        ((0, 0), (0, 0), (1, 1), (1, 1)), mode="reflect")
+        else:
+            v = jnp.pad(v.astype(jnp.float32),
+                        ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+            v = jnp.transpose(v, (0, 3, 1, 2))  # [B, C, H+2, W+2]
         return jnp.pad(v, ((0, 0), (0, 0), (8, rows - 8 - hp),
                            (2, wb - 2 - (w + 2))))
 
@@ -386,23 +398,26 @@ def _bwd_batched(x: jnp.ndarray, y: jnp.ndarray, g: jnp.ndarray,
         dpad = dpad.at[:, :, h - 1].add(dpad[:, :, h + 1])
         dpad = dpad.at[:, :, :, 2].add(dpad[:, :, :, 0])
         dpad = dpad.at[:, :, :, w - 1].add(dpad[:, :, :, w + 1])
-        return jnp.transpose(dpad[:, :, 1:1 + h, 1:1 + w], (0, 2, 3, 1))
+        core = dpad[:, :, 1:1 + h, 1:1 + w]
+        return core if planar else jnp.transpose(core, (0, 2, 3, 1))
 
     return fold(dxp), fold(dyp)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
-def _residual_with_vjp(x, y, ssim_w, c1, c2, interpret):
-    return _residual_batched(x, y, ssim_w, c1, c2, interpret)[..., None]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def _residual_with_vjp(x, y, ssim_w, c1, c2, interpret, planar):
+    return _residual_batched(x, y, ssim_w, c1, c2, interpret,
+                             planar)[..., None]
 
 
-def _residual_fwd(x, y, ssim_w, c1, c2, interpret):
-    return _residual_with_vjp(x, y, ssim_w, c1, c2, interpret), (x, y)
+def _residual_fwd(x, y, ssim_w, c1, c2, interpret, planar):
+    return (_residual_with_vjp(x, y, ssim_w, c1, c2, interpret, planar),
+            (x, y))
 
 
-def _residual_bwd(ssim_w, c1, c2, interpret, res, g):
+def _residual_bwd(ssim_w, c1, c2, interpret, planar, res, g):
     x, y = res
-    return _bwd_batched(x, y, g, ssim_w, c1, c2, interpret)
+    return _bwd_batched(x, y, g, ssim_w, c1, c2, interpret, planar)
 
 
 _residual_with_vjp.defvjp(_residual_fwd, _residual_bwd)
@@ -412,17 +427,31 @@ def fused_photometric_residual(warped: jnp.ndarray, image: jnp.ndarray,
                                ssim_weight: float = 0.85,
                                c1: float = 1e-4, c2: float = 9e-4,
                                use_pallas: bool | None = None,
-                               interpret: bool = False) -> jnp.ndarray:
-    """Channel-mean 0.85*SSIM + 0.15*L1 residual, NHWC -> [B, H, W, 1].
+                               interpret: bool = False,
+                               planar: bool = False) -> jnp.ndarray:
+    """Channel-mean 0.85*SSIM + 0.15*L1 residual -> [B, H, W, 1].
 
-    Matches losses/photometric._photometric + ssim numerics exactly;
-    differentiable (custom VJP: fused forward, XLA-reference backward).
+    Inputs are NHWC, or channel-planar [B, C, H, W] when ``planar`` —
+    the loss keeps full-res tensors planar end-to-end so no relayout
+    sits between the warp and SSIM kernels (round-5 glue cut; same
+    kernel math either way, the layout only changes the host-side
+    pad/transpose prep). Matches losses/photometric._photometric + ssim
+    numerics exactly; differentiable (custom VJP with the fused
+    backward kernel).
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     if not use_pallas:
+        if planar:
+            b, c, h, w = warped.shape
+            from mgnet_tpu.losses.photometric import _photometric_planar
+
+            return _photometric_planar(
+                warped.astype(jnp.float32).reshape(b * c, h, w),
+                image.astype(jnp.float32).reshape(b * c, h, w),
+                ssim_weight, b)[..., None]
         return _reference_residual(warped, image, ssim_weight)
 
     x = warped.astype(jnp.float32)
     y = image.astype(jnp.float32)
-    return _residual_with_vjp(x, y, ssim_weight, c1, c2, interpret)
+    return _residual_with_vjp(x, y, ssim_weight, c1, c2, interpret, planar)

@@ -232,10 +232,24 @@ def _tile_bases(x_pix, y_pix, h, w):
     return qy8, qxl, viol
 
 
-def _exact_at_indices(image, x_pix, y_pix, idx, padding_mode):
-    """Exact bilinear (+ gx, gy) at flat pixel indices [B, K]."""
-    b, h, w, c = image.shape
-    flat_img = image.reshape(b, h * w, c)
+def _exact_at_indices(image, x_pix, y_pix, idx, padding_mode,
+                      planar=False):
+    """Exact bilinear (+ gx, gy) at flat pixel indices [B, K].
+
+    Values are [B, K, C], or [B, C, K] when ``planar`` (image is then
+    channel-planar [B, C, H, W])."""
+    if planar:
+        b, c, h, w = image.shape
+        flat_img = image.reshape(b, c, h * w)
+
+        def expand(a):  # per-pixel scalar -> broadcast over channels
+            return a[:, None, :]
+    else:
+        b, h, w, c = image.shape
+        flat_img = image.reshape(b, h * w, c)
+
+        def expand(a):
+            return a[..., None]
     xf = jnp.take_along_axis(x_pix.reshape(b, -1), idx, axis=1)
     yf = jnp.take_along_axis(y_pix.reshape(b, -1), idx, axis=1)
     x0f = jnp.floor(xf)
@@ -250,6 +264,9 @@ def _exact_at_indices(image, x_pix, y_pix, idx, padding_mode):
     y1c = jnp.clip(y0f + 1, 0, h - 1).astype(jnp.int32)
 
     def g(yi, xi):
+        if planar:
+            return jnp.take_along_axis(
+                flat_img, (yi * w + xi)[:, None, :], axis=2)  # [B, C, K]
         return jnp.take_along_axis(
             flat_img, (yi * w + xi)[..., None], axis=1)  # [B, K, C]
 
@@ -257,18 +274,18 @@ def _exact_at_indices(image, x_pix, y_pix, idx, padding_mode):
     v10, v11 = g(y1c, x0c), g(y1c, x1c)
     if padding_mode == "zeros":
         def inb(vx, vy):
-            return ((vx >= 0) & (vx <= w - 1) & (vy >= 0)
-                    & (vy <= h - 1)).astype(image.dtype)[..., None]
+            return expand(((vx >= 0) & (vx <= w - 1) & (vy >= 0)
+                           & (vy <= h - 1)).astype(image.dtype))
 
         v00 = v00 * inb(x0f, y0f)
         v01 = v01 * inb(x0f + 1, y0f)
         v10 = v10 * inb(x0f, y0f + 1)
         v11 = v11 * inb(x0f + 1, y0f + 1)
-    out = (v00 * (wy0 * wx0)[..., None] + v01 * (wy0 * wx1)[..., None]
-           + v10 * (wy1 * wx0)[..., None] + v11 * (wy1 * wx1)[..., None])
+    out = (v00 * expand(wy0 * wx0) + v01 * expand(wy0 * wx1)
+           + v10 * expand(wy1 * wx0) + v11 * expand(wy1 * wx1))
     sx, sy = (w - 1) * 0.5, (h - 1) * 0.5
-    gx = (wy0[..., None] * (v01 - v00) + wy1[..., None] * (v11 - v10)) * sx
-    gy = (wx0[..., None] * (v10 - v00) + wx1[..., None] * (v11 - v01)) * sy
+    gx = (expand(wy0) * (v01 - v00) + expand(wy1) * (v11 - v10)) * sx
+    gy = (expand(wx0) * (v10 - v00) + expand(wx1) * (v11 - v01)) * sy
     return out, gx, gy
 
 
@@ -276,16 +293,23 @@ def _exact_at_indices(image, x_pix, y_pix, idx, padding_mode):
     jax.jit,
     static_argnames=("padding_mode", "with_grads", "correction_k",
                      "band_terms",
-                     "exact_guard", "interpret"))
+                     "exact_guard", "interpret", "planar"))
 def warp_bilinear_banded(image, coords, padding_mode="zeros",
                          with_grads=True, correction_k=8192,
                          exact_guard=True, band_terms=3,
-                         interpret=False):
+                         interpret=False, planar=False):
     """Banded-matmul Pallas bilinear warp; grid_sample contract plus
     optional (gx, gy) spatial-derivative fields.
 
     Args:
-        image: [B, H, W, C] float32 (channels fold into the band rows).
+        image: [B, H, W, C] float32 (channels fold into the band rows),
+            or channel-planar [B, C, H, W] when ``planar`` — then the
+            outputs are planar too. Planar in/out skips the NHWC
+            lane-shuffle relayouts on both sides (the band assembly is
+            a pure tile regroup from either layout, but the OUTPUT
+            relayout to NHWC moves C to the minor dim — lane
+            granularity — while planar-out only rearranges whole
+            (8,128) tiles).
         coords: [B, H, W, 2] normalized [-1, 1], (x, y) order.
         correction_k: static per-image violator budget for the exact
             XLA correction pass.
@@ -293,7 +317,10 @@ def warp_bilinear_banded(image, coords, padding_mode="zeros",
             exceed the budget (exact for ANY input at the cost of one
             extra compiled branch).
     """
-    b, h, w, c = image.shape
+    if planar:
+        b, c, h, w = image.shape
+    else:
+        b, h, w, c = image.shape
     f32 = jnp.float32
     image = image.astype(f32)
     # Pre-clamp fully-out-of-image pixels to 1.5px outside the image so
@@ -309,7 +336,8 @@ def warp_bilinear_banded(image, coords, padding_mode="zeros",
     ni, nj = h // TILE_H, w // TILE_W
 
     # [B, C, H/8, W/XBLK, 8, XBLK]: (8, XBLK) minor dims = (sublane, lane)
-    img6 = image.transpose(0, 3, 1, 2).reshape(
+    img_pl = image if planar else image.transpose(0, 3, 1, 2)
+    img6 = img_pl.reshape(
         b, c, h // 8, 8, w // XBLK, XBLK).transpose(0, 1, 2, 4, 3, 5)
     # Cell-ordered coords: [B, ni, nj, 8*128] with lane = r*128 + l.
     def cell_order(a):
@@ -361,14 +389,16 @@ def warp_bilinear_banded(image, coords, padding_mode="zeros",
     )(qy8.reshape(-1), qxl.reshape(-1),
       img6, img6, img6, img6, img6, img6, img6, img6, img6, x4, y4)
 
-    def to_nhwc(o):
-        return o.reshape(b, ni, nj, c, TILE_H, TILE_W).transpose(
-            0, 1, 4, 2, 5, 3).reshape(b, h, w, c)
+    def to_out(o):
+        o = o.reshape(b, ni, nj, c, TILE_H, TILE_W)
+        if planar:
+            return o.transpose(0, 3, 1, 4, 2, 5).reshape(b, c, h, w)
+        return o.transpose(0, 1, 4, 2, 5, 3).reshape(b, h, w, c)
 
     if with_grads:
-        out, gx, gy = (to_nhwc(o) for o in outs)
+        out, gx, gy = (to_out(o) for o in outs)
     else:
-        out = to_nhwc(outs[0])
+        out = to_out(outs[0])
         gx = gy = None
 
     # ---- exact correction of band violators ------------------------------
@@ -398,11 +428,20 @@ def warp_bilinear_banded(image, coords, padding_mode="zeros",
 
     def corrected(vidx):
         co, cgx, cgy = _exact_at_indices(image, x_pix, y_pix, vidx,
-                                         padding_mode)
+                                         padding_mode, planar=planar)
 
-        def scatter(dst, val):
-            return dst.reshape(b, h * w, c).at[bi, vidx].set(
-                val).reshape(b, h, w, c)
+        if planar:
+            bi_p = jnp.arange(b)[:, None, None]
+            ci_p = jnp.arange(c)[None, :, None]
+            vidx_p = vidx[:, None, :]
+
+            def scatter(dst, val):  # val [B, C, K]
+                return dst.reshape(b, c, h * w).at[bi_p, ci_p, vidx_p].set(
+                    val).reshape(b, c, h, w)
+        else:
+            def scatter(dst, val):  # val [B, K, C]
+                return dst.reshape(b, h * w, c).at[bi, vidx].set(
+                    val).reshape(b, h, w, c)
 
         o = scatter(out, co)
         if with_grads:
@@ -423,8 +462,11 @@ def warp_bilinear_banded(image, coords, padding_mode="zeros",
     def tier_c(_):
         from mgnet_tpu.geometry.image import _grid_sample_core
 
+        img_nhwc = image.transpose(0, 2, 3, 1) if planar else image
         o, gxe, gye = _grid_sample_core(
-            image, coords.astype(f32), padding_mode, True)
+            img_nhwc, coords.astype(f32), padding_mode, True)
+        if planar:
+            o, gxe, gye = (v.transpose(0, 3, 1, 2) for v in (o, gxe, gye))
         if with_grads:
             return o, gxe, gye
         return o, o, o

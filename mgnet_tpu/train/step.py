@@ -171,7 +171,11 @@ def make_train_step(cfg, model) -> Callable:
     k times per iteration) because sequential micro-batches cannot share
     one batch statistic, whereas the reference's InPlaceABNSync pools all
     12; running stats converge to the same place, per-iteration
-    normalization noise is slightly higher.
+    normalization noise is slightly higher. Measured (round 5): the
+    multi-scene overfit gate at batch 12 accum-2 matches or beats the
+    single-pass arm (PQ 97.3 vs 95.6, same mIoU, lower train loss —
+    BENCH_NOTES §Round 5 Grad-accum BN A/B), so the delta is accepted
+    as-is.
     """
     pixel_mean = tuple(cfg.MODEL.PIXEL_MEAN)
     pixel_std = tuple(cfg.MODEL.PIXEL_STD)

@@ -276,7 +276,40 @@ void mg_adjust_saturation(const uint8_t* in, int64_t n_px, float factor,
   }
 }
 
+// Division-free tables for mg_adjust_hue. Each entry stores EXACTLY the
+// value the scalar expression produced (one correctly-rounded op), so the
+// table rewrite cannot change a bit — it only removes the ~6 FP divisions
+// per pixel that made the first version ~100 ns/px (BENCH_NOTES §Data
+// pipeline round 5). Magic-static init, ~1.3 MB total, read-only after.
+struct HueTables {
+  float ratio[256 * 256];    // [cr*256 + d] = (float)d / (float)cr
+  uint8_t sat[256 * 256];    // [cr*256 + maxc] = 255*cr/maxc
+  double s_tab[256];         // [us] = us/255.0
+  double f_tab[256];         // [uh] = frac part of h6(uh)
+  double omf_tab[256];       // [uh] = 1.0 - f(uh)
+  int i6[256];               // [uh] = ((int)h6) % 6
+  HueTables() {
+    for (int cr = 0; cr < 256; ++cr)
+      for (int d = 0; d < 256; ++d) {
+        ratio[cr * 256 + d] =
+            cr ? static_cast<float>(d) / static_cast<float>(cr) : 0.0f;
+        // sat is indexed by (cr, maxc); maxc >= 1 whenever cr >= 1
+        sat[cr * 256 + d] = d ? static_cast<uint8_t>(255 * cr / d) : 0;
+      }
+    for (int uh = 0; uh < 256; ++uh) {
+      const double h6 = (static_cast<double>(uh) / 255.0) * 6.0;
+      const int i = static_cast<int>(h6);
+      f_tab[uh] = h6 - static_cast<double>(i);
+      omf_tab[uh] = 1.0 - f_tab[uh];
+      i6[uh] = i % 6;
+    }
+    for (int us = 0; us < 256; ++us)
+      s_tab[us] = static_cast<double>(us) / 255.0;
+  }
+};
+
 void mg_adjust_hue(const uint8_t* in, int64_t n_px, int shift, uint8_t* out) {
+  static const HueTables T;
   for (int64_t idx = 0; idx < n_px; ++idx) {
     const int r = in[3 * idx], g = in[3 * idx + 1], b = in[3 * idx + 2];
     int maxc = r > g ? r : g;
@@ -290,21 +323,22 @@ void mg_adjust_hue(const uint8_t* in, int64_t n_px, int shift, uint8_t* out) {
       us = 0;
     } else {
       const int cr = maxc - minc;
-      us = static_cast<uint8_t>(255 * cr / maxc);
-      const float fcr = static_cast<float>(cr);
-      const float rc = static_cast<float>(maxc - r) / fcr;
-      const float gc = static_cast<float>(maxc - g) / fcr;
-      const float bc = static_cast<float>(maxc - b) / fcr;
-      float h;
-      if (maxc == r) {
-        h = bc - gc;
-      } else if (maxc == g) {
-        h = static_cast<float>(2.0 + rc - bc);  // double arith, f32 store
-      } else {
-        h = static_cast<float>(4.0 + gc - rc);
-      }
-      float m = fmodf(h / 6.0f, 1.0f);
-      if (m < 0.0f) m += 1.0f;  // numpy-% / python-% wrap
+      us = T.sat[cr * 256 + maxc];
+      const float* rr = T.ratio + cr * 256;
+      const float rc = rr[maxc - r];
+      const float gc = rr[maxc - g];
+      const float bc = rr[maxc - b];
+      // all three branch values computed, selected by cmov — the
+      // per-pixel maxc branch is data-dependent and mispredicts
+      const float h0 = bc - gc;
+      const float h1 = static_cast<float>(2.0 + rc - bc);  // double arith,
+      const float h2 = static_cast<float>(4.0 + gc - rc);  // f32 store
+      const float h = maxc == r ? h0 : (maxc == g ? h1 : h2);
+      // h/6 is always in (-1/6, 5/6) here (h in [-1, 5]), so
+      // fmodf(x, 1) is exactly x — the numpy-% wrap reduces to a sign
+      // fixup, no libm call
+      const float m0 = h / 6.0f;
+      const float m = m0 < 0.0f ? m0 + 1.0f : m0;
       uh = static_cast<uint8_t>(static_cast<double>(m) * 255.0);
     }
     uh = static_cast<uint8_t>(uh + shift);  // uint8 wraparound shift
@@ -313,23 +347,42 @@ void mg_adjust_hue(const uint8_t* in, int64_t n_px, int shift, uint8_t* out) {
       o[0] = o[1] = o[2] = uv;
       continue;
     }
-    const double h6 = (static_cast<double>(uh) / 255.0) * 6.0;
-    const int i = static_cast<int>(h6);
-    const double f = h6 - static_cast<double>(i);
-    const double s = static_cast<double>(us) / 255.0;
     const double v = static_cast<double>(uv);
-    const uint8_t p = static_cast<uint8_t>(v * (1.0 - s) + 0.5);
-    const uint8_t q = static_cast<uint8_t>(v * (1.0 - s * f) + 0.5);
-    const uint8_t t = static_cast<uint8_t>(v * (1.0 - s * (1.0 - f)) + 0.5);
-    switch (i % 6) {
-      case 0: o[0] = uv; o[1] = t;  o[2] = p;  break;
-      case 1: o[0] = q;  o[1] = uv; o[2] = p;  break;
-      case 2: o[0] = p;  o[1] = uv; o[2] = t;  break;
-      case 3: o[0] = p;  o[1] = q;  o[2] = uv; break;
-      case 4: o[0] = t;  o[1] = p;  o[2] = uv; break;
-      default: o[0] = uv; o[1] = p;  o[2] = q;  break;
-    }
+    const double s = T.s_tab[us];
+    // vals = {uv, q, p, t}; output channel order per sextant via an
+    // index table instead of a (mispredicting) 6-way switch
+    uint8_t vals[4];
+    vals[0] = uv;
+    vals[1] = static_cast<uint8_t>(v * (1.0 - s * T.f_tab[uh]) + 0.5);  // q
+    vals[2] = static_cast<uint8_t>(v * (1.0 - s) + 0.5);                // p
+    vals[3] = static_cast<uint8_t>(v * (1.0 - s * T.omf_tab[uh]) + 0.5);  // t
+    static const uint8_t kSel[6][3] = {{0, 3, 2}, {1, 0, 2}, {2, 0, 3},
+                                       {2, 1, 0}, {3, 2, 0}, {0, 2, 1}};
+    const uint8_t* sel = kSel[T.i6[uh]];
+    o[0] = vals[sel[0]];
+    o[1] = vals[sel[1]];
+    o[2] = vals[sel[2]];
   }
+}
+
+// 256-entry LUT apply: the brightness/contrast jitters are per-VALUE maps
+// (Pillow Blend.c over a scalar degenerate); numpy fancy-indexing costs
+// ~7 ns/byte, this loop is memory-bound (~0.3 ns/byte).
+void mg_apply_lut(const uint8_t* in, int64_t n, const uint8_t* lut,
+                  uint8_t* out) {
+  for (int64_t i = 0; i < n; ++i) out[i] = lut[in[i]];
+}
+
+// ImageEnhance.Contrast's scalar degenerate: int(mean(L image) + 0.5).
+// The uint64 sum is exact, and numpy's pairwise f64 mean of integer
+// values is also exact (every partial sum is an integer < 2^53), so
+// (double)sum / n_px is the identical double — same low bit.
+int mg_gray_mean_round(const uint8_t* in, int64_t n_px) {
+  uint64_t sum = 0;
+  for (int64_t i = 0; i < n_px; ++i)
+    sum += luma_l(in[3 * i], in[3 * i + 1], in[3 * i + 2]);
+  return static_cast<int>(
+      static_cast<double>(sum) / static_cast<double>(n_px) + 0.5);
 }
 
 // Normalize u8 HWC -> f32 HWC: (x/255 - mean) / std, per channel.

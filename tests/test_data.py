@@ -299,6 +299,66 @@ class TestMapperEndToEnd:
         ids = np.array([[0, 1000, 26001, 255255]], np.int64)
         np.testing.assert_array_equal(rgb2id(id2rgb(ids)), ids)
 
+    def test_decode_cache_mapper_parity(self, tmp_path):
+        """DECODE_CACHE_DIR changes where bytes come from, not a single
+        bit of the mapper output (miss epoch AND warm-hit epoch)."""
+        from mgnet_tpu.data.cityscapes import (
+            register_all_cityscapes_scene_seg,
+        )
+
+        _make_mini_cityscapes(str(tmp_path / "ds"))
+        for k in list(DatasetCatalog.list()):
+            DatasetCatalog.remove(k)
+        MetadataCatalog.clear()
+        register_all_cityscapes_scene_seg(str(tmp_path / "ds"))
+        d = DatasetCatalog.get("cityscapes_fine_scene_seg_train")[0]
+
+        def make_cfg(cache_dir=""):
+            cfg = get_default_config()
+            cfg.INPUT.MIN_SIZE_TRAIN = (128,)
+            cfg.INPUT.MAX_SIZE_TRAIN = 256
+            cfg.INPUT.CROP.SIZE = (128, 128)
+            cfg.INPUT.IGNORED_CATEGORIES_IN_DEPTH = ["ego vehicle", "sky"]
+            cfg.DATALOADER.DECODE_CACHE_DIR = cache_dir
+            return cfg
+
+        name = "cityscapes_fine_scene_seg_train"
+        ref = TrainDatasetMapper(make_cfg(), dataset_name=name)(
+            d, rng=np.random.default_rng(3))
+        cached = TrainDatasetMapper(
+            make_cfg(str(tmp_path / "dc")), dataset_name=name)
+        miss = cached(d, rng=np.random.default_rng(3))   # populates cache
+        hit = cached(d, rng=np.random.default_rng(3))    # mmap reads
+        assert len(os.listdir(str(tmp_path / "dc"))) == 4  # 4 distinct PNGs
+        for out in (miss, hit):
+            assert set(out) == set(ref)
+            for k in ref:
+                if k == "image_id":
+                    assert out[k] == ref[k]
+                else:
+                    np.testing.assert_array_equal(
+                        np.asarray(out[k]), np.asarray(ref[k]), err_msg=k)
+
+    def test_decode_cache_invalidation(self, tmp_path):
+        from PIL import Image
+
+        from mgnet_tpu.data.decode_cache import DecodeCache
+
+        p = str(tmp_path / "img.png")
+        a = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+        Image.fromarray(a).save(p)
+        cache = DecodeCache(str(tmp_path / "dc"))
+        np.testing.assert_array_equal(np.asarray(cache.get(p)), a)
+        # rewrite with different content + mtime -> new entry, not stale
+        b = a[::-1].copy()
+        Image.fromarray(b).save(p)
+        os.utime(p, ns=(1, 1))
+        np.testing.assert_array_equal(np.asarray(cache.get(p)), b)
+        # returned hit views are read-only
+        arr = cache.get(p)
+        with pytest.raises(ValueError):
+            arr[0, 0, 0] = 1
+
 
 class TestLoaderDeterminism:
     def test_same_seed_same_batches(self, tmp_path):

@@ -231,3 +231,100 @@ def test_banded_warp_fast_mode_error_bound():
                                    np.asarray(rgx) / sx, atol=1e-4)
         np.testing.assert_allclose(np.asarray(gy) / sy,
                                    np.asarray(rgy) / sy, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Channel-planar paths (round 5: the loss keeps full-res tensors
+# [B, C, H, W] end to end so no NHWC relayout sits between the warp and
+# SSIM kernels). Planar must be a pure layout change: identical bits vs
+# the NHWC path for values AND gradients.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("shape", [(1, 64, 128, 3), (2, 130, 200, 3)])
+def test_fused_photometric_planar_matches_nhwc(shape):
+    x = jnp.asarray(RNG.rand(*shape), jnp.float32)
+    y = jnp.asarray(RNG.rand(*shape), jnp.float32)
+    ref = fused_photometric_residual(x, y, use_pallas=True, interpret=True)
+    out = fused_photometric_residual(
+        x.transpose(0, 3, 1, 2), y.transpose(0, 3, 1, 2),
+        use_pallas=True, interpret=True, planar=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # XLA fallback planar path too
+    ref2 = fused_photometric_residual(x, y, use_pallas=False)
+    out2 = fused_photometric_residual(
+        x.transpose(0, 3, 1, 2), y.transpose(0, 3, 1, 2),
+        use_pallas=False, planar=True)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref2),
+                               atol=1e-6)
+
+
+def test_fused_photometric_planar_gradient_matches_nhwc():
+    import jax
+
+    x = jnp.asarray(RNG.rand(1, 40, 56, 3), jnp.float32)
+    y = jnp.asarray(RNG.rand(1, 40, 56, 3), jnp.float32)
+    g_nhwc = jax.grad(lambda a: jnp.sum(fused_photometric_residual(
+        a, y, use_pallas=True, interpret=True) ** 2))(x)
+    g_pl = jax.grad(lambda a: jnp.sum(fused_photometric_residual(
+        a, y.transpose(0, 3, 1, 2), use_pallas=True, interpret=True,
+        planar=True) ** 2))(x.transpose(0, 3, 1, 2))
+    np.testing.assert_array_equal(
+        np.asarray(g_pl.transpose(0, 2, 3, 1)), np.asarray(g_nhwc))
+
+
+@pytest.mark.parametrize(
+    "name,kw",
+    [
+        ("sfm", dict(scale=1.05, jitter=0.5)),
+        ("violators", dict(scale=1.0, jitter=6.0)),
+    ],
+)
+def test_banded_warp_planar_matches_nhwc(name, kw):
+    """planar=True is a pure layout change of the banded warp kernel:
+    bit-identical values/fields vs the NHWC path, including the
+    violator-correction scatter."""
+    from mgnet_tpu.ops.pallas.warp import warp_bilinear_banded
+
+    b, h, w, c = 1, 32, 512, 3
+    img = jnp.asarray(RNG.rand(b, h, w, c), jnp.float32)
+    coords = _sfm_coords(b, h, w, **kw)
+    ref, rgx, rgy = warp_bilinear_banded(
+        img, coords, "zeros", with_grads=True, interpret=True)
+    out, gx, gy = warp_bilinear_banded(
+        img.transpose(0, 3, 1, 2), coords, "zeros", with_grads=True,
+        interpret=True, planar=True)
+    for a, r in ((out, ref), (gx, rgx), (gy, rgy)):
+        np.testing.assert_array_equal(
+            np.asarray(a.transpose(0, 2, 3, 1)), np.asarray(r))
+
+
+def test_grid_sample_planar_matches_nhwc():
+    """grid_sample_planar == grid_sample (values and coords gradient)
+    on the XLA fallback path."""
+    import jax
+
+    from mgnet_tpu.geometry.image import grid_sample, grid_sample_planar
+
+    b, h, w, c = 2, 24, 40, 3
+    img = jnp.asarray(RNG.rand(b, h, w, c), jnp.float32)
+    coords = jnp.asarray(RNG.uniform(-1, 1, (b, h, w, 2)), jnp.float32)
+
+    ref = grid_sample(img, coords, "zeros")
+    out = grid_sample_planar(img.transpose(0, 3, 1, 2), coords, "zeros")
+    np.testing.assert_array_equal(
+        np.asarray(out.transpose(0, 2, 3, 1)), np.asarray(ref))
+
+    g_ref = jax.grad(lambda cc: jnp.sum(
+        grid_sample(img, cc, "zeros") ** 2))(coords)
+    g_pl = jax.grad(lambda cc: jnp.sum(grid_sample_planar(
+        img.transpose(0, 3, 1, 2), cc, "zeros") ** 2))(coords)
+    np.testing.assert_allclose(np.asarray(g_pl), np.asarray(g_ref),
+                               atol=1e-6)
+    g_img_ref = jax.grad(lambda im: jnp.sum(
+        grid_sample(im, coords, "zeros") ** 2))(img)
+    g_img_pl = jax.grad(lambda im: jnp.sum(grid_sample_planar(
+        im, coords, "zeros") ** 2))(img.transpose(0, 3, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(g_img_pl.transpose(0, 2, 3, 1)), np.asarray(g_img_ref),
+        atol=1e-6)

@@ -89,6 +89,10 @@ def main():
     ap.add_argument("--step-seconds", type=float, default=0.336,
                     help="train-step seconds for the cores-needed row")
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--decode-cache", action="store_true",
+                    help="enable the disk decode-once cache "
+                         "(DATALOADER.DECODE_CACHE_DIR); the bench then "
+                         "measures the steady-state (warm-cache) epoch")
     args = ap.parse_args()
 
     from mgnet_tpu.config import get_default_config
@@ -111,6 +115,8 @@ def main():
 
     with tempfile.TemporaryDirectory() as tdir:
         d = make_fixture(tdir, args.height, args.width)
+        if args.decode_cache:
+            cfg.DATALOADER.DECODE_CACHE_DIR = os.path.join(tdir, "dcache")
         mapper = TrainDatasetMapper(cfg, dataset_name="mapper_bench")
 
         # full mapper, fresh seeded RNG per call (real per-sample work;
@@ -133,7 +139,7 @@ def main():
             rng, cj.BRIGHTNESS, cj.CONTRAST, cj.SATURATION, cj.HUE)
 
         t_decode = bench(
-            lambda: [read_image(d[k]) for k in
+            lambda: [mapper._read(d[k]) for k in
                      ("file_name", "prev_img_file_name",
                       "next_img_file_name", "pan_seg_file_name")],
             args.iters)
