@@ -213,6 +213,11 @@ class Trainer:
                 }
                 self.logger.log(i + 1, flat)
         self.ckpt.wait()
+        from mgnet_tpu.utils.profiling import peak_hbm_gb
+
+        peak = peak_hbm_gb()
+        if peak is not None:
+            self.logger.log(max_iter, {"peak_hbm_gb": peak})
         # params-only snapshot for eval/demo/export (detectron2
         # model_final analog); restored by utils.checkpoint.load_params
         from mgnet_tpu.utils.checkpoint import save_params
@@ -637,4 +642,9 @@ def evaluate_dataset(cfg, model, params, batch_stats,
             "images_per_s": n_images / eval_seconds,
             "num_images": float(n_images),
         }
+        from mgnet_tpu.utils.profiling import peak_hbm_gb
+
+        peak = peak_hbm_gb()
+        if peak is not None:
+            results["eval_speed"]["peak_hbm_gb"] = peak
     return results

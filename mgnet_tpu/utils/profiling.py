@@ -30,6 +30,17 @@ def trace(logdir: Optional[str]) -> Iterator[None]:
         jax.profiler.stop_trace()
 
 
+def peak_hbm_gb() -> Optional[float]:
+    """Device 0's peak HBM high-water mark in GiB, or None when the
+    backend exposes no allocator stats (CPU, some PJRT plugins)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        peak = stats.get("peak_bytes_in_use")
+        return None if peak is None else float(peak) / 2**30
+    except Exception:
+        return None
+
+
 def steady_state_timer(fn: Callable, args=(), warmup: int = 10,
                        iters: int = 50) -> float:
     """Seconds per call after warmup, blocking on each result."""

@@ -1,5 +1,6 @@
 """Pallas kernel tests (interpret mode on the CPU mesh)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -163,10 +164,42 @@ def test_center_argmin_matches_xla_path():
     pts = jnp.asarray(rng.uniform(0, 64, (40, 72, 2)), jnp.float32)
     centers = jnp.asarray(rng.uniform(0, 64, (16, 2)), jnp.float32)
     valid = jnp.asarray(rng.rand(16) > 0.25)
-    out = center_argmin(pts, centers, valid, interpret=True)
     cs = np.where(np.asarray(valid)[:, None], np.asarray(centers), 1e12)
     d = ((np.asarray(pts)[:, :, None, :] - cs[None, None]) ** 2).sum(-1)
-    np.testing.assert_array_equal(np.asarray(out), d.argmin(-1))
+    for variant in ("broadcast", "kloop"):
+        out = center_argmin(pts, centers, valid, interpret=True,
+                            variant=variant)
+        np.testing.assert_array_equal(np.asarray(out), d.argmin(-1))
+
+
+def test_center_argmin_kloop_vmap():
+    """vmap routes through the custom_vmap rule (the generic pallas
+    batching rule compiles pathologically slowly on TPU — 198 s even at
+    64x256); exactness must hold for batched AND broadcast operands."""
+    from mgnet_tpu.ops.pallas.center_argmin import center_argmin
+
+    rng = np.random.RandomState(3)
+    b = 3
+    pts = jnp.asarray(rng.uniform(0, 64, (b, 40, 72, 2)), jnp.float32)
+    centers = jnp.asarray(rng.uniform(0, 64, (b, 16, 2)), jnp.float32)
+    valid = jnp.asarray(rng.rand(b, 16) > 0.25)
+
+    fn = lambda p, c, v: center_argmin(p, c, v, interpret=True,
+                                       variant="kloop")
+    out = jax.vmap(fn)(pts, centers, valid)
+    for i in range(b):
+        cs = np.where(np.asarray(valid)[i][:, None],
+                      np.asarray(centers)[i], 1e12)
+        d = ((np.asarray(pts)[i][:, :, None, :]
+              - cs[None, None]) ** 2).sum(-1)
+        np.testing.assert_array_equal(np.asarray(out)[i], d.argmin(-1))
+
+    # unbatched centers broadcast across the mapped axis
+    out_bc = jax.vmap(lambda p: fn(p, centers[0], valid[0]))(pts)
+    for i in range(b):
+        ref = fn(pts[i], centers[0], valid[0])
+        np.testing.assert_array_equal(np.asarray(out_bc)[i],
+                                      np.asarray(ref))
 
 
 def test_banded_warp_depth_edge_tier_b():

@@ -30,6 +30,7 @@ import os
 import subprocess
 import sys
 import tempfile
+import time
 
 REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
 sys.path.insert(0, REPO)
@@ -350,23 +351,33 @@ def main():
               f"({cs_shape[0]}x{cs_shape[1]})")
 
     weights_npz = os.path.join(args.weights_dir, "imagenet_weights.npz")
-    if "prepare" in stages:
-        stage_prepare(args)
-    if "init" in stages:
-        weights_npz = stage_init(args)
     model_final = os.path.join(args.output_dir, "model_final")
+    elapsed = {}
+
+    def timed(name, fn):
+        t0 = time.monotonic()
+        out = fn()
+        elapsed[name] = time.monotonic() - t0
+        print(f"stage {name}: {elapsed[name]:.1f} s", flush=True)
+        return out
+
+    if "prepare" in stages:
+        timed("prepare", lambda: stage_prepare(args))
+    if "init" in stages:
+        weights_npz = timed("init", lambda: stage_init(args))
     if "train" in stages:
-        model_final = stage_train(
-            args, weights_npz if os.path.exists(weights_npz) else "")
+        model_final = timed("train", lambda: stage_train(
+            args, weights_npz if os.path.exists(weights_npz) else ""))
     if "eval" in stages:
-        stage_eval(args, model_final)
+        timed("eval", lambda: stage_eval(args, model_final))
     if "pseudo" in stages:
-        stage_pseudo(args, model_final)
+        timed("pseudo", lambda: stage_pseudo(args, model_final))
     if "video" in stages:
-        stage_video(args, model_final, weights_npz)
+        timed("video", lambda: stage_video(args, model_final, weights_npz))
     if "kitti" in stages:
-        stage_kitti(args, model_final, weights_npz)
-    print("PIPELINE OK:", " -> ".join(stages))
+        timed("kitti", lambda: stage_kitti(args, model_final, weights_npz))
+    print("PIPELINE OK:", " -> ".join(
+        f"{s}[{elapsed.get(s, 0):.0f}s]" for s in stages))
 
 
 if __name__ == "__main__":
